@@ -1,0 +1,148 @@
+"""Progressive frame renderer: the TPU equivalent of the reference Sampler.
+
+The reference schedules dim x dim pixel-tile jobs on a CPU thread pool and
+merges tiles under a mutex (/root/reference/src/sampler.rs:28-78). Here the
+frame is a flat padded pixel buffer rendered in fixed-size chunks by one
+jitted wavefront kernel per chunk; samples accumulate into a device-resident
+f32 framebuffer (progressive rendering, cli.rs:162-170). Multi-chip sharding
+lives in :mod:`micro_raytracer_tpu.parallel.shard` and reuses the same kernel.
+
+Progressive state (accum, count, rng key) is exposed for checkpoint/resume —
+the durable version of the reference's ``--update`` flag (cli.rs:166-169).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import tonemap
+from .compiler import compile_camera, compile_scene
+from .schema import RenderConfig
+from .tracer import trace_radiance
+
+
+def _pick_chunk(n_pix: int, n_prims: int, n_lights: int) -> int:
+    """Ray-chunk size keeping the (R*L, P) shadow sweep within a memory budget."""
+    budget = 1 << 22  # elements in the largest (R*L, P, 3) intermediate
+    per_ray = max(1, n_prims) * max(1, n_lights) * 3
+    c = budget // per_ray
+    c = max(1024, min(1 << 17, c))
+    c = (c // 1024) * 1024
+    return min(c, max(1024, -(-n_pix // 1024) * 1024))
+
+
+@partial(jax.jit, static_argnames=("render_wh", "bounce"))
+def _sample_chunk(scene, cam, render_wh, bounce, loss, coords, key):
+    return trace_radiance(scene, cam, render_wh, bounce, loss, coords, key)
+
+
+@partial(jax.jit, static_argnames=("render_wh", "bounce", "n_samples"),
+         donate_argnames=("accum",))
+def _sample_chunk_many(scene, cam, render_wh, bounce, n_samples, loss,
+                       coords, key, accum):
+    """Accumulate ``n_samples`` paths per pixel of one chunk in a single call."""
+
+    def body(i, acc):
+        rad = trace_radiance(scene, cam, render_wh, bounce, loss, coords,
+                             jax.random.fold_in(key, i))
+        return acc + rad
+
+    return jax.lax.fori_loop(0, n_samples, body, accum)
+
+
+class Renderer:
+    """Progressive renderer over a compiled scene.
+
+    Equivalent surface to the reference ``Sampler`` (sampler.rs:11-99):
+    ``execute()`` adds one sample per pixel, ``img()`` tonemaps the running
+    mean.  ``execute_many(n)`` fuses n samples into one device call.
+    """
+
+    def __init__(self, config: RenderConfig, seed: int = 0, chunk: int | None = None):
+        self.config = config
+        self.scene = compile_scene(config.scene)
+        self.cam = compile_camera(config.frame.cam)
+        self.render_wh = config.frame.render_res
+        nw, nh = self.render_wh
+        self.n_pix = nw * nh
+        self.chunk = chunk or _pick_chunk(self.n_pix, self.scene.n_prims,
+                                          self.scene.n_lights)
+        n_pad = -(-self.n_pix // self.chunk) * self.chunk
+        ys, xs = np.divmod(np.arange(n_pad, dtype=np.int64), nw)
+        coords = np.stack([xs, ys], axis=-1).astype(np.float32)
+        self._coords = jnp.asarray(coords).reshape(-1, self.chunk, 2)
+        self.n_chunks = self._coords.shape[0]
+        self._accum = [jnp.zeros((self.chunk, 3), jnp.float32)
+                       for _ in range(self.n_chunks)]
+        self.count = 0
+        self.key = jax.random.PRNGKey(seed)
+        self._loss = jnp.float32(config.rt.loss)
+
+    # -- sampling ----------------------------------------------------------
+    def execute(self) -> float:
+        """One path-tracing sample for every pixel; returns elapsed seconds."""
+        return self.execute_many(1)
+
+    def execute_many(self, n_samples: int) -> float:
+        t0 = time.perf_counter()
+        base = jax.random.fold_in(self.key, self.count)
+        for c in range(self.n_chunks):
+            k = jax.random.fold_in(base, c)
+            self._accum[c] = _sample_chunk_many(
+                self.scene, self.cam, self.render_wh, self.config.rt.bounce,
+                n_samples, self._loss, self._coords[c], k, self._accum[c])
+        jax.block_until_ready(self._accum[-1])
+        self.count += n_samples
+        return time.perf_counter() - t0
+
+    # -- image -------------------------------------------------------------
+    def framebuffer(self) -> np.ndarray:
+        """Running radiance sum as (nh, nw, 3) float32."""
+        flat = jnp.concatenate(self._accum, axis=0)[: self.n_pix]
+        nw, nh = self.render_wh
+        return np.asarray(flat).reshape(nh, nw, 3)
+
+    def img(self) -> np.ndarray:
+        """Tonemapped, SSAA-downsampled (h, w, 3) uint8 image (sampler.rs:80-99)."""
+        fb = jnp.asarray(self.framebuffer())
+        out = tonemap.finalize(fb, jnp.float32(max(self.count, 1)),
+                               self.cam.gamma, self.cam.exp, self.config.frame.res)
+        return np.asarray(out)
+
+    # -- checkpoint/resume ---------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Persist progressive render state (framebuffer, count, rng key)."""
+        np.savez(path, accum=np.asarray(jnp.concatenate(self._accum, 0)),
+                 count=self.count, key=np.asarray(jax.random.key_data(self.key)))
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        accum = jnp.asarray(data["accum"]).reshape(self.n_chunks, self.chunk, 3)
+        self._accum = [accum[i] for i in range(self.n_chunks)]
+        self.count = int(data["count"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+
+
+def render_image(config: RenderConfig, seed: int = 0, on_sample=None,
+                 samples_per_pass: int | None = None) -> np.ndarray:
+    """Render a full frame: ``rt.sample`` progressive passes then tonemap.
+
+    ``on_sample(i, seconds, renderer)`` is invoked after each pass (the
+    reference's per-sample log + ``--update`` hook, cli.rs:162-170).
+    """
+    r = Renderer(config, seed=seed)
+    total = config.rt.sample
+    step = samples_per_pass or (1 if on_sample else min(total, 16))
+    done = 0
+    while done < total:
+        n = min(step, total - done)
+        dt = r.execute_many(n)
+        done += n
+        if on_sample:
+            on_sample(done - 1, dt, r)
+    return r.img()

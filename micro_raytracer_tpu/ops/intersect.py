@@ -1,0 +1,328 @@
+"""Batched ray-primitive intersection, normals, UVs, and material sampling.
+
+TPU-native replacement for the reference's trait-dispatch intersection core
+(``/root/reference/src/rt.rs:299-548, 706-898``): every ray in a batch is
+tested against every primitive row of the compiled scene as one dense
+``(R, P)`` computation, per kind-sorted segment. The closest hit is a masked
+argmin; mesh entry/exit hits fall out of a ``group_id`` max-reduction exactly
+matching rt.rs:740-772. No BVH — pointer chasing is anti-idiomatic on TPU and
+the brute-force masked sweep keeps the VPU saturated.
+
+Semantics preserved per primitive (validity conditions identical to the
+reference):
+  sphere   quadratic, ``t0 >= 0`` required (inside counts as miss) rt.rs:335-358
+  plane    double-sided, ``t > 0``                                  rt.rs:400-412
+  box      slab test w/ 1/0 -> 1e4 workaround, ``t0<=t1 && t1>=0``  rt.rs:299-332
+           (entry t may be negative when the origin is inside)
+  triangle Moller-Trumbore, backface-inclusive, ``|det|>=E, t>=0``  rt.rs:361-398
+
+Deviation: non-finite ``t`` values (e.g. a plane seen edge-on producing
+``inf``) are treated as misses instead of propagating like the Rust float
+semantics would; this only affects degenerate rays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models import schema
+from ..models.compiler import SceneArrays
+from . import linalg
+from .linalg import EPS
+
+_BIG = 3.0e38
+
+
+def build_frames(scene: SceneArrays):
+    """Per-primitive instance matrices ``M = rot_y(-dir) @ lookat(-dir)``.
+
+    The same matrix maps rays world->object and normals object->world
+    (rt.rs:726-733, 776-793 apply it in both directions). Differentiable
+    w.r.t. ``scene.inst_dir``.
+    """
+    return linalg.instance_mat(scene.inst_dir)  # (P,3,3)
+
+
+def _kind_array(scene: SceneArrays):
+    """Static (P,) int32 of kind codes derived from segment counts."""
+    parts = [jnp.full((c,), k, dtype=jnp.int32)
+             for k, c in enumerate(scene.kind_counts) if c]
+    if not parts:
+        return jnp.zeros((0,), jnp.int32)
+    return jnp.concatenate(parts)
+
+
+def intersect_all(scene: SceneArrays, frames, orig, dirs):
+    """Intersect a ray batch against every primitive row.
+
+    Args:
+      scene: compiled scene.
+      frames: ``(P,3,3)`` from :func:`build_frames`.
+      orig: ``(R,3)`` ray origins (already E-offset by the caster).
+      dirs: ``(R,3)`` ray directions.
+    Returns:
+      ``(t_entry, t_exit, valid)`` each ``(R, P)``.
+    """
+    P = scene.n_prims
+    R = orig.shape[0]
+    if P == 0:
+        z = jnp.zeros((R, 0), orig.dtype)
+        return z, z, jnp.zeros((R, 0), bool)
+
+    # World -> object space per (ray, prim) pair (rt.rs:729-732).
+    o_rel = orig[:, None, :] - scene.inst_pos[None, :, :]          # (R,P,3)
+    op = jnp.einsum("pij,rpj->rpi", frames, o_rel) + scene.inst_pos[None]
+    dp = jnp.einsum("pij,rj->rpi", frames, dirs)                    # (R,P,3)
+
+    t0_parts, t1_parts, ok_parts = [], [], []
+    for kind, count in enumerate(scene.kind_counts):
+        if count == 0:
+            continue
+        s = scene.seg(kind)
+        o_s, d_s = op[:, s], dp[:, s]
+        pos = scene.inst_pos[s][None]
+        if kind == schema.KIND_SPHERE:
+            o = o_s - pos
+            a = linalg.dot(d_s, d_s)
+            b = 2.0 * linalg.dot(o, d_s)
+            c = linalg.dot(o, o) - scene.prim_r[s][None] ** 2
+            disc = b * b - 4.0 * a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = (-b - sq) / (2.0 * a)
+            t1 = (-b + sq) / (2.0 * a)
+            ok = (disc >= 0.0) & (t0 >= 0.0)
+        elif kind == schema.KIND_PLANE:
+            n = linalg.normalize(scene.prim_a[s])[None]             # (1,Pk,3)
+            d = -linalg.dot(n, pos)
+            t0 = -(linalg.dot(o_s, n) + d) / linalg.dot(d_s, n)
+            t1 = t0
+            ok = t0 > 0.0
+        elif kind == schema.KIND_BOX:
+            m = 1.0 / d_s
+            m = jnp.where(jnp.isinf(m), 1.0 / EPS, m)               # rt.rs:306-316
+            n = (o_s - pos) * m
+            k = (0.5 * scene.prim_a[s][None]) * jnp.abs(m)
+            t0 = jnp.max(-n - k, axis=-1)
+            t1 = jnp.min(-n + k, axis=-1)
+            ok = ~((t0 > t1) | (t1 < 0.0))
+        else:  # KIND_TRIANGLE
+            v0 = scene.prim_a[s][None]
+            e0 = (scene.prim_b[s] - scene.prim_a[s])[None]
+            e1 = (scene.prim_c[s] - scene.prim_a[s])[None]
+            pv = linalg.cross(d_s, jnp.broadcast_to(e1, d_s.shape))
+            det = linalg.dot(e0, pv)
+            ok = jnp.abs(det) >= EPS                                 # rt.rs:371-373
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tv = o_s - (v0 + pos)
+            u = linalg.dot(tv, pv) * inv
+            ok &= (u >= 0.0) & (u <= 1.0)
+            qv = linalg.cross(tv, jnp.broadcast_to(e0, tv.shape))
+            v = linalg.dot(d_s, qv) * inv
+            ok &= (v >= 0.0) & (u + v <= 1.0)
+            t0 = linalg.dot(jnp.broadcast_to(e1, qv.shape), qv) * inv
+            ok &= t0 >= 0.0
+            t1 = t0
+        ok = ok & scene.prim_valid[s][None] & jnp.isfinite(t0) & jnp.isfinite(t1)
+        t0_parts.append(t0)
+        t1_parts.append(t1)
+        ok_parts.append(ok)
+
+    t_entry = jnp.concatenate(t0_parts, axis=1)
+    t_exit = jnp.concatenate(t1_parts, axis=1)
+    valid = jnp.concatenate(ok_parts, axis=1)
+    return t_entry, t_exit, valid
+
+
+def any_hit(scene: SceneArrays, frames, orig, dirs):
+    """Occlusion query: does the ray hit anything at all? (rt.rs:1036-1038)"""
+    _, _, valid = intersect_all(scene, frames, orig, dirs)
+    return jnp.any(valid, axis=-1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["hit", "t_entry", "t_exit", "idx_entry", "idx_exit"],
+    meta_fields=[],
+)
+@dataclass
+class HitInfo:
+    hit: Any        # (R,) bool
+    t_entry: Any    # (R,)
+    t_exit: Any     # (R,)
+    idx_entry: Any  # (R,) int32 winning prim row
+    idx_exit: Any   # (R,) int32 farthest-exit prim row within the winning group
+
+
+def closest_hit(scene: SceneArrays, frames, orig, dirs) -> HitInfo:
+    """Masked argmin over entry t + group-max for the exit hit.
+
+    The winner is the (object, instance) pair with the smallest entry ``t``
+    (rt.rs:867-872); its exit hit is the farthest ``t`` among valid hits in
+    the same group (one prim for sphere/plane/box/triangle; all triangles of
+    the mesh instance otherwise — rt.rs:758-771).
+    """
+    t_entry, t_exit, valid = intersect_all(scene, frames, orig, dirs)
+    hit = jnp.any(valid, axis=-1)
+    masked_entry = jnp.where(valid, t_entry, _BIG)
+    win = jnp.argmin(masked_entry, axis=-1).astype(jnp.int32)
+    te = jnp.take_along_axis(masked_entry, win[:, None], axis=1)[:, 0]
+
+    win_group = scene.group_id[win]                                  # (R,)
+    same = valid & (scene.group_id[None, :] == win_group[:, None])
+    masked_exit = jnp.where(same, t_exit, -_BIG)
+    idx_exit = jnp.argmax(masked_exit, axis=-1).astype(jnp.int32)
+    tx = jnp.take_along_axis(masked_exit, idx_exit[:, None], axis=1)[:, 0]
+    return HitInfo(hit=hit, t_entry=te, t_exit=tx, idx_entry=win, idx_exit=idx_exit)
+
+
+def normal_at(scene: SceneArrays, frames, kind_arr, idx, point):
+    """World-space geometric normal of primitive ``idx`` at world ``point``.
+
+    Reproduces rt.rs:776-793 (object-space normal mapped back through the
+    same instance matrix, then normalized) including the box face-selection
+    quirk at rt.rs:414-444 where the missing ``else`` lets the z-test
+    override a matched x/y face.
+    """
+    M = frames[idx]                     # (R,3,3)
+    ipos = scene.inst_pos[idx]          # (R,3)
+    kind = kind_arr[idx]                # (R,)
+    hp = ipos + linalg.matvec(M, point - ipos)
+
+    # sphere (rt.rs:447-451)
+    n_sph = hp - ipos
+    # plane (rt.rs:453-456): raw stored normal
+    n_pln = scene.prim_a[idx]
+    # box (rt.rs:414-444)
+    p = (hp - ipos) * (2.0 / jnp.where(scene.prim_a[idx] == 0, 1.0, scene.prim_a[idx]))
+    def _in(v, target):
+        return jnp.abs(v - target) < EPS
+    ex = jnp.array([1.0, 0.0, 0.0], point.dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], point.dtype)
+    ez = jnp.array([0.0, 0.0, 1.0], point.dtype)
+    zero3 = jnp.zeros_like(point)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    base = jnp.where(_in(px, 1.0)[..., None], ex,
+           jnp.where(_in(px, -1.0)[..., None], -ex,
+           jnp.where(_in(py, 1.0)[..., None], ey,
+           jnp.where(_in(py, -1.0)[..., None], -ey, zero3))))
+    # the z test is NOT chained to the x/y chain (missing `else`, rt.rs:435)
+    n_box = jnp.where(_in(pz, 1.0)[..., None], ez,
+            jnp.where(_in(pz, -1.0)[..., None], -ez, base))
+    # triangle (rt.rs:459-466)
+    n_tri = linalg.cross(scene.prim_b[idx] - scene.prim_a[idx],
+                         scene.prim_c[idx] - scene.prim_a[idx])
+
+    n_obj = jnp.where((kind == schema.KIND_SPHERE)[..., None], n_sph,
+            jnp.where((kind == schema.KIND_PLANE)[..., None], n_pln,
+            jnp.where((kind == schema.KIND_BOX)[..., None], n_box, n_tri)))
+    return linalg.normalize(linalg.matvec(M, n_obj))
+
+
+def uv_at(scene: SceneArrays, frames, kind_arr, idx, point):
+    """Texture coordinates of primitive ``idx`` at world ``point``.
+
+    rt.rs:468-548 / 795-809. Triangles/meshes are ``todo!()`` in the
+    reference (they panic); here they return 0.
+    """
+    M = frames[idx]
+    ipos = scene.inst_pos[idx]
+    kind = kind_arr[idx]
+    hp = ipos + linalg.matvec(M, point - ipos)
+
+    # sphere (rt.rs:518-526)
+    v = linalg.normalize(hp - ipos)
+    uv_sph = jnp.stack([
+        0.5 + 0.5 * jnp.arctan2(v[..., 0], -v[..., 1]) / jnp.pi,
+        0.5 - 0.5 * v[..., 2],
+    ], axis=-1)
+    # plane (rt.rs:528-542): fract with negative wrap
+    fx = (hp[..., 0] + 0.5) - jnp.trunc(hp[..., 0] + 0.5)
+    fy = (hp[..., 1] + 0.5) - jnp.trunc(hp[..., 1] + 0.5)
+    uv_pln = jnp.stack([jnp.where(fx < 0, 1.0 + fx, fx),
+                        jnp.where(fy < 0, 1.0 + fy, fy)], axis=-1)
+    # box cross-atlas (rt.rs:468-515)
+    sizes = jnp.where(scene.prim_a[idx] == 0, 1.0, scene.prim_a[idx])
+    p = (hp - ipos) * (2.0 / sizes)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    def _in(vv, target):
+        return jnp.abs(vv - target) < EPS
+    u_right = jnp.stack([(0.5 + 0.5 * py) / 4.0 + 2.0 / 4.0,
+                         (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_left = jnp.stack([(0.5 - 0.5 * py) / 4.0,
+                        (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_fwd = jnp.stack([(0.5 - 0.5 * px) / 4.0 + 3.0 / 4.0,
+                       (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_back = jnp.stack([(0.5 + 0.5 * px) / 4.0 + 1.0 / 4.0,
+                        (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_top = jnp.stack([(0.5 + 0.5 * px) / 4.0 + 1.0 / 4.0,
+                       (0.5 - 0.5 * py) / 3.0], axis=-1)
+    u_bot = jnp.stack([(0.5 + 0.5 * px) / 4.0 + 1.0 / 4.0,
+                       (0.5 + 0.5 * py) / 3.0 + 2.0 / 3.0], axis=-1)
+    # UV branches all return immediately in the reference, so plain chaining
+    # (x, y, then z) is faithful here (rt.rs:475-514).
+    uv_box = jnp.where(_in(px, 1.0)[..., None], u_right,
+             jnp.where(_in(px, -1.0)[..., None], u_left,
+             jnp.where(_in(py, 1.0)[..., None], u_fwd,
+             jnp.where(_in(py, -1.0)[..., None], u_back,
+             jnp.where(_in(pz, 1.0)[..., None], u_top,
+             jnp.where(_in(pz, -1.0)[..., None], u_bot,
+                       jnp.zeros_like(u_top)))))))
+
+    uv = jnp.where((kind == schema.KIND_SPHERE)[..., None], uv_sph,
+         jnp.where((kind == schema.KIND_PLANE)[..., None], uv_pln,
+         jnp.where((kind == schema.KIND_BOX)[..., None], uv_box,
+                   jnp.zeros_like(uv_sph))))
+    return uv
+
+
+def sample_texture(scene: SceneArrays, tex_id, uv):
+    """Nearest-neighbor texel fetch (rt.rs:618-628).
+
+    The reference does no clamping (out-of-range UVs would panic); indices
+    are clamped into the texture here, which only matters at the exact seam
+    ``u == 1.0``.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    w = scene.tex_w[tid]
+    h = scene.tex_h[tid]
+    x = jnp.clip((uv[..., 0] * w.astype(uv.dtype)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h.astype(uv.dtype)).astype(jnp.int32), 0, h - 1)
+    idx = scene.tex_offset[tid] + x + y * w
+    return scene.tex_data[idx]
+
+
+def material_at(scene: SceneArrays, frames, kind_arr, idx, point):
+    """Evaluate the full material of primitive ``idx`` at world ``point``.
+
+    Returns a dict of color (albedo modulated by tex, rt.rs:811-818), rough,
+    metal, glass, opacity, emit — each map read from the red channel
+    (rt.rs:820-863) — plus the raw per-object ``metal`` scalar used by the
+    dielectric-diffuse branch (rt.rs:564 reads ``obj.mat.metal`` unmapped).
+    """
+    m = scene.mat_id[idx]
+    out = {
+        "color": scene.mat_albedo[m],
+        "rough": scene.mat_rough[m],
+        "metal": scene.mat_metal[m],
+        "glass": scene.mat_glass[m],
+        "opacity": scene.mat_opacity[m],
+        "emit": scene.mat_emit[m],
+        "metal_scalar": scene.mat_metal[m],
+    }
+    if not scene.has_maps:
+        return out
+    uv = uv_at(scene, frames, kind_arr, idx, point)
+    maps = scene.mat_maps[m]  # (R,6)
+    tex_rgb = sample_texture(scene, maps[..., 0], uv)
+    out["color"] = jnp.where((maps[..., 0] >= 0)[..., None],
+                             out["color"] * tex_rgb, out["color"])
+    for slot, key in ((1, "rough"), (2, "metal"), (3, "glass"),
+                      (4, "opacity"), (5, "emit")):
+        val = sample_texture(scene, maps[..., slot], uv)[..., 0]
+        out[key] = jnp.where(maps[..., slot] >= 0, val, out[key])
+    return out

@@ -1,0 +1,128 @@
+import jax.numpy as jnp
+import numpy as np
+
+from micro_raytracer_tpu.models import schema
+from micro_raytracer_tpu.models.compiler import compile_scene
+from micro_raytracer_tpu.ops import intersect
+
+
+def scene_of(objs, lights=()):
+    cfg = schema.SceneConfig.from_json(
+        {"renderer": objs, "light": list(lights) or None})
+    return compile_scene(cfg)
+
+
+def hit_one(scene, orig, dirs):
+    frames = intersect.build_frames(scene)
+    return intersect.closest_hit(
+        scene, frames, jnp.asarray([orig], jnp.float32), jnp.asarray([dirs], jnp.float32))
+
+
+def test_sphere_hit():
+    s = scene_of([{"type": "sphere", "r": 0.5}])
+    h = hit_one(s, [0, -2, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 1.5, atol=1e-5)
+    np.testing.assert_allclose(float(h.t_exit[0]), 2.5, atol=1e-5)
+
+
+def test_sphere_inside_is_miss():
+    # reference treats t0 < 0 as a miss even when t1 > 0 (rt.rs:353-355)
+    s = scene_of([{"type": "sphere", "r": 1.0}])
+    h = hit_one(s, [0, 0, 0], [0, 1, 0])
+    assert not bool(h.hit[0])
+
+
+def test_plane_double_sided():
+    s = scene_of([{"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -1]}])
+    h = hit_one(s, [0, 0, 0], [0, 0, -1])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 1.0, atol=1e-4)
+    # from below, looking up: also hits (double-sided)
+    h2 = hit_one(s, [0, 0, -2], [0, 0, 1])
+    assert bool(h2.hit[0])
+
+
+def test_box_entry_exit():
+    s = scene_of([{"type": "box", "sizes": [1, 1, 1]}])
+    h = hit_one(s, [0, -2, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 1.5, atol=1e-4)
+    np.testing.assert_allclose(float(h.t_exit[0]), 2.5, atol=1e-4)
+
+
+def test_box_from_inside_negative_entry():
+    # slab test yields t0 < 0 when origin is inside; still a valid hit (rt.rs:327)
+    s = scene_of([{"type": "box", "sizes": [2, 2, 2]}])
+    h = hit_one(s, [0, 0, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    assert float(h.t_entry[0]) < 0.0
+    np.testing.assert_allclose(float(h.t_exit[0]), 1.0, atol=1e-4)
+
+
+def test_triangle_hit_and_backface():
+    vtx = [[-1, 1, -1], [1, 1, -1], [0, 1, 1]]
+    s = scene_of([{"type": "triangle", "vtx": vtx}])
+    h = hit_one(s, [0, 0, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 1.0, atol=1e-3)
+    # Moller-Trumbore here is backface-inclusive (rt.rs:371-373)
+    h2 = hit_one(s, [0, 2, 0], [0, -1, 0])
+    assert bool(h2.hit[0])
+
+
+def test_closest_among_two():
+    s = scene_of([
+        {"type": "sphere", "r": 0.5, "pos": [0, 3, 0]},
+        {"type": "sphere", "r": 0.5, "pos": [0, 1.5, 0]},
+    ])
+    h = hit_one(s, [0, -2, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 3.0, atol=1e-5)
+
+
+def test_mesh_group_exit():
+    # two parallel triangles forming one mesh: entry = near, exit = far
+    tri_near = [[-1, 1, -1], [1, 1, -1], [0, 1, 1]]
+    tri_far = [[-1, 2, -1], [1, 2, -1], [0, 2, 1]]
+    s = scene_of([{"type": "mesh", "mesh": [tri_near, tri_far]}])
+    h = hit_one(s, [0, 0, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 1.0, atol=1e-3)
+    np.testing.assert_allclose(float(h.t_exit[0]), 2.0, atol=1e-3)
+
+
+def test_sphere_normal():
+    s = scene_of([{"type": "sphere", "r": 0.5}])
+    frames = intersect.build_frames(s)
+    kinds = intersect._kind_array(s)
+    n = intersect.normal_at(s, frames, kinds, jnp.array([0]), jnp.asarray([[0.0, -0.5, 0.0]]))
+    np.testing.assert_allclose(np.asarray(n[0]), [0, -1, 0], atol=1e-5)
+
+
+def test_box_normal_faces():
+    s = scene_of([{"type": "box", "sizes": [1, 1, 1]}])
+    frames = intersect.build_frames(s)
+    kinds = intersect._kind_array(s)
+    for point, expect in [([0.5, 0, 0], [1, 0, 0]), ([-0.5, 0, 0], [-1, 0, 0]),
+                          ([0, 0.5, 0], [0, 1, 0]), ([0, 0, -0.5], [0, 0, -1])]:
+        n = intersect.normal_at(s, frames, kinds, jnp.array([0]),
+                                jnp.asarray([point], jnp.float32))
+        np.testing.assert_allclose(np.asarray(n[0]), expect, atol=1e-4)
+
+
+def test_instance_translation():
+    # same sphere via instance list at two positions
+    s = scene_of([{"type": "sphere", "r": 0.5,
+                   "inst": [[[0, 0, 0], [0, 0, -1, 0]], [[2, 0, 0], [0, 0, -1, 0]]]}])
+    h = hit_one(s, [2, -2, 0], [0, 1, 0])
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t_entry[0]), 1.5, atol=1e-5)
+
+
+def test_any_hit_occlusion():
+    s = scene_of([{"type": "sphere", "r": 0.5, "pos": [0, 1, 0]}])
+    frames = intersect.build_frames(s)
+    occ = intersect.any_hit(s, frames, jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 2.0]]),
+                            jnp.asarray([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]]))
+    assert bool(occ[0]) and not bool(occ[1])

@@ -1,0 +1,64 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from micro_raytracer_tpu.models import schema
+from micro_raytracer_tpu.models.render import Renderer, render_image
+
+EXAMPLES = "/root/reference/example"
+
+
+def small_default(res=(96, 54), sample=2, ssaa=1.0):
+    path = os.path.join(EXAMPLES, "Default.json")
+    if not os.path.exists(path):
+        pytest.skip("missing Default.json")
+    with open(path) as f:
+        cfg = schema.RenderConfig.from_json(json.load(f))
+    cfg.frame.res = res
+    cfg.frame.ssaa = ssaa
+    cfg.rt.sample = sample
+    return cfg
+
+
+def test_render_default_smoke():
+    cfg = small_default()
+    img = render_image(cfg)
+    assert img.shape == (54, 96, 3) and img.dtype == np.uint8
+    # the lit sphere must produce bright pixels near the center
+    center = img[17:37, 28:68].astype(np.float32)
+    assert center.max() > 40
+    # corners look at black sky
+    assert img[0, 0].max() <= 10
+
+
+def test_progressive_accumulation_and_state():
+    cfg = small_default(sample=4)
+    r = Renderer(cfg, seed=1)
+    r.execute()
+    r.execute()
+    assert r.count == 2
+    img2 = r.img()
+    assert img2.shape == (54, 96, 3)
+
+    # checkpoint / resume round trip
+    path = "/tmp/mrt_state.npz"
+    r.save_state(path)
+    r2 = Renderer(cfg, seed=1)
+    r2.load_state(path)
+    assert r2.count == 2
+    np.testing.assert_array_equal(r2.img(), img2)
+
+
+def test_ssaa_downsample_shape():
+    cfg = small_default(res=(64, 36), sample=1, ssaa=2.0)
+    img = render_image(cfg)
+    assert img.shape == (36, 64, 3)
+
+
+def test_seed_determinism():
+    cfg = small_default(sample=1)
+    a = render_image(cfg, seed=5)
+    b = render_image(cfg, seed=5)
+    np.testing.assert_array_equal(a, b)
