@@ -1,0 +1,1 @@
+"""User-facing frontends: CLI, token mini-language, HTTP server, conv2json."""

@@ -195,6 +195,22 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
                 for t in range(tris.shape[0]):
                     push(tris[t, 0], tris[t, 1], tris[t, 2], 0.0)
 
+    # An empty scene still gets one all-invalid sphere segment so every
+    # downstream gather/argmin is well-formed (all rays miss).
+    if not any(rows[k]["a"] for k in range(N_KINDS)):
+        z3 = np.zeros(3, np.float32)
+        rows[schema.KIND_SPHERE]["a"].append(z3)
+        rows[schema.KIND_SPHERE]["b"].append(z3)
+        rows[schema.KIND_SPHERE]["c"].append(z3)
+        rows[schema.KIND_SPHERE]["r"].append(0.0)
+        rows[schema.KIND_SPHERE]["ipos"].append(z3)
+        rows[schema.KIND_SPHERE]["idir"].append(schema.BACKWARD4.copy())
+        rows[schema.KIND_SPHERE]["group"].append(-1)
+        rows[schema.KIND_SPHERE]["mat"].append(0)
+        placeholder = True
+    else:
+        placeholder = False
+
     # -- pad each kind segment --
     kind_counts = []
     cat = {key: [] for key in ("a", "b", "c", "r", "ipos", "idir", "group", "mat", "valid")}
@@ -233,6 +249,8 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
     group_id = concat("group", (0,), np.int32)
     mat_id = concat("mat", (0,), np.int32)
     prim_valid = concat("valid", (0,), bool)
+    if placeholder:
+        prim_valid = np.zeros_like(prim_valid)
 
     # -- material table (at least one row so gathers are well-formed) --
     M = max(1, len(mat_albedo))
