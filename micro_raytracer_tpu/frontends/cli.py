@@ -132,6 +132,12 @@ def parse_render(args) -> schema.RenderConfig:
 
 
 def _save(img, filename: str) -> None:
+    if filename.lower().endswith(".png"):
+        from .. import native
+
+        if native.available():
+            native.png_write(filename, img)
+            return
     from PIL import Image
 
     Image.fromarray(img).save(filename)

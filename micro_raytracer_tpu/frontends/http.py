@@ -22,6 +22,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import os
 import socket
 import threading
 import time
@@ -143,6 +144,23 @@ class HttpServer:
 
     # -- accept loop -------------------------------------------------------
     def start(self) -> None:
+        """Serve forever; prefers the native C++ transport when built."""
+        from .. import native
+
+        if native.available() and os.environ.get("MRT_NO_NATIVE") != "1":
+            log.info("http: native transport on %s:%d", self.host, self.port)
+
+            def render_locked(body: bytes) -> bytes:
+                with self._render_lock:
+                    return render_jpeg(body, peer="native")
+
+            rc = native.http_serve(self.host, self.port, render_locked)
+            if rc != 0:
+                raise OSError(f"native http transport failed: rc={rc}")
+            return
+        self._start_python()
+
+    def _start_python(self) -> None:
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((self.host, self.port))

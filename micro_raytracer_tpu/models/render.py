@@ -64,6 +64,9 @@ class Renderer:
     """
 
     def __init__(self, config: RenderConfig, seed: int = 0, chunk: int | None = None):
+        from ..utils.cache import enable_compile_cache
+
+        enable_compile_cache()
         self.config = config
         self.scene = compile_scene(config.scene)
         self.cam = compile_camera(config.frame.cam)

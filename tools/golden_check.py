@@ -1,0 +1,112 @@
+"""Golden-image comparison against the reference's published renders.
+
+The reference ships no tests; its de-facto goldens are the README command
+lines and their published outputs (/root/reference/README.md:16-27,127-157
+-> /root/reference/doc/out0-3.png). This tool re-renders those scenes
+through the real CLI parsing path and reports downsampled mean-absolute
+error against each published image.
+
+RNG differs from the reference (threefry vs thread_rng), so images match in
+expectation only: both sides are box-downsampled to wash out sampling noise
+before comparison. Published goldens were rendered at 1024 spp; pass
+--sample to trade time for noise.
+
+Usage:
+  python tools/golden_check.py [--sample 64] [--scenes out0,out2] [--save DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DOC = "/root/reference/doc"
+
+# README command lines, verbatim argv (README.md:127-157, 16-27).
+GOLDENS = {
+    "out0": ["--obj", "sphere", "--light", "point:", "-0.5", "-1", "0.5"],
+    "out1": ["--obj", "sphere", "--light", "point:", "-0.5", "-1", "0.5",
+             "--res", "1920", "1080", "--ssaa", "2"],
+    "out2": ("--obj sph r: 0.2 pos: 0.5 0.5 0 albedo: #ffc177 emit: 1.0 "
+             "--obj sph r: 0.2 pos: -0.5 0 0 rough: 1 "
+             "--obj sph r: 0.2 pos: 0 0.5 0 albedo: #ff0000 "
+             "--obj sph r: 0.2 pos: 0.5 0 0 metal: 1 "
+             "--obj sph r: 0.2 pos: -0.15 -0.5 0 glass: 0.08 opacity: 0 "
+             "--obj pln pos: 0 0 -0.201 rough: 1 "
+             "--obj pln n: 0 0 -1 pos: 0 0 1 rough: 1 "
+             "--obj pln n: -1 0 0 pos: 1 0 0 albedo: #00ff00 rough: 1 "
+             "--obj pln n: 1 0 0 pos: -1 0 0 albedo: #ff0000 rough: 1 "
+             "--obj pln n: 0 -1 0 pos: 0 1 0 rough: 1 "
+             "--cam pos: 0 -1.2 0.1 fov: 60 gamma: 0.5 exp: 0.75 "
+             "--bounce 16").split(),
+    "out3": ("--obj sph r: 0.15 pos: 0 0 -0.1 "
+             "--obj box size: 0.25 0.25 0.25 pos: 0 0 -0.375 dir: 0 0.5 0.5 0 "
+             "--obj box size: 0.3 0.3 0.01 pos: 0 0 0.499 emit: 1 "
+             "--obj box size: 1 0.01 1 pos: 0 0.5 0 "
+             "--obj box size: 1 1 0.01 pos: 0 0 0.5 "
+             "--obj box size: 1 1 0.01 pos: 0 0 -0.5 "
+             "--obj box size: 0.01 1 1 pos: -0.5 0 0 albedo: #ff0000 "
+             "--obj box size: 0.01 1 1 pos: 0.5 0 0 albedo: #00ff00 "
+             "--cam pos: 0 -1.25 0 fov: 60 gamma: 0.6 exp: 0.8 "
+             "--ssaa 2 --res 1080 1080").split(),
+}
+
+
+def downsample(img: np.ndarray, f: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    h2, w2 = h // f * f, w // f * f
+    return img[:h2, :w2].reshape(h2 // f, f, w2 // f, f, 3).mean((1, 3))
+
+
+def run_golden(name: str, sample: int, save_dir: str | None = None) -> dict:
+    from PIL import Image
+
+    from micro_raytracer_tpu.frontends import cli
+    from micro_raytracer_tpu.models.render import render_image
+
+    cfg = cli.parse_render(cli.build_parser().parse_args(GOLDENS[name]))
+    cfg.rt.sample = sample
+    ours = render_image(cfg).astype(np.float32)
+    ref = np.asarray(
+        Image.open(os.path.join(DOC, f"{name}.png")).convert("RGB"),
+        np.float32)
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+
+    f = max(8, ours.shape[1] // 160)
+    a, b = downsample(ours, f), downsample(ref, f)
+    mae = float(np.abs(a - b).mean())
+    p95 = float(np.percentile(np.abs(a - b), 95))
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        Image.fromarray(ours.astype(np.uint8)).save(
+            os.path.join(save_dir, f"{name}_ours.png"))
+    return {"name": name, "mae_u8": round(mae, 2), "p95_u8": round(p95, 2),
+            "shape": list(ours.shape), "sample": sample}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sample", type=int, default=64)
+    p.add_argument("--scenes", default="out0,out2,out3",
+                   help="comma-separated golden names (out1 is just out0 hi-res)")
+    p.add_argument("--save", default=None, help="dir to save our renders")
+    args = p.parse_args(argv)
+
+    results = []
+    for name in args.scenes.split(","):
+        r = run_golden(name.strip(), args.sample, args.save)
+        print(json.dumps(r))
+        results.append(r)
+    worst = max(r["mae_u8"] for r in results)
+    print(json.dumps({"worst_mae_u8": worst, "pass": worst < 12.0}))
+    return 0 if worst < 12.0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
