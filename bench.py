@@ -1,28 +1,36 @@
-"""Benchmark: CornellBox 1080x1080 rays/s/chip, forward+backward.
+"""Benchmark: CornellBox 1080x1080 rays/s/chip, forward and forward+backward.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
 
-"rays" counts primary paths (pixel-samples); each path additionally carries
-`bounce+1` closest-hit sweeps and per-light shadow sweeps, matching how the
-reference's per-sample wall time is defined (one path per pixel per sample,
-/root/reference/src/sampler.rs:28-78).
+"rays" counts primary paths (pixel-samples), matching the reference's unit
+of work (one path per pixel per sample, /root/reference/src/sampler.rs:28-78);
+each path additionally carries ``bounce+1`` closest-hit sweeps plus per-light
+shadow sweeps.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against an estimated throughput of the Rust renderer on its default 24-thread
-pool for the same scene class (~2e6 paths/s — scalar Rust path tracing at
-~80k paths/s/thread), recorded in BASELINE.md as the comparison anchor.
+Measures the *production* dispatch shape: SAMPLES_PER_CALL paths per pixel
+fused into one device call via ``fori_loop`` (the Renderer's execute_many
+path), so per-dispatch host/tunnel latency is amortized exactly as in real
+renders.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is against an
+estimated 2e6 paths/s for the Rust renderer on its default 24-thread pool
+(~80k paths/s/thread scalar path tracing), recorded in BASELINE.md.
 """
 
 import json
 import os
 import time
 
+os.environ.setdefault("MRT_NO_COMPILE_CACHE", "0")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_S = 2.0e6  # estimated Rust reference, 24 CPU threads
+CHUNK = 1 << 17
+SAMPLES_PER_CALL = 8
 
 
 def main():
@@ -30,6 +38,9 @@ def main():
     from micro_raytracer_tpu.models.compiler import compile_camera, compile_scene
     from micro_raytracer_tpu.models.tracer import trace_radiance
     from micro_raytracer_tpu.parallel import shard
+    from micro_raytracer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     path = "/root/reference/example/CornellBox.json"
     with open(path) as f:
@@ -44,35 +55,43 @@ def main():
     loss = jnp.float32(cfg.rt.loss)
     key = jax.random.PRNGKey(0)
 
-    chunk = 1 << 16
-    n_pix = render_wh[0] * render_wh[1]
-    ys, xs = np.divmod(np.arange(chunk, dtype=np.int64), render_wh[0])
+    ys, xs = np.divmod(np.arange(CHUNK, dtype=np.int64), render_wh[0])
     coords = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
 
-    # ---- forward throughput ----
+    # ---- forward throughput (fused multi-sample accumulation) ----
     @jax.jit
     def fwd(scene, coords, key):
-        return trace_radiance(scene, cam, render_wh, bounce, loss, coords, key)
+        def body(i, acc):
+            rad = trace_radiance(scene, cam, render_wh, bounce, loss, coords,
+                                 jax.random.fold_in(key, i))
+            return acc + rad
+
+        return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body,
+                                 jnp.zeros((CHUNK, 3), jnp.float32))
 
     fwd(scene, coords, key).block_until_ready()  # compile
-    n_iters = max(2, (n_pix // chunk) // 4)
+    n_iters = 4
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = fwd(scene, coords, jax.random.fold_in(key, i))
     out.block_until_ready()
     fwd_s = (time.perf_counter() - t0) / n_iters
-    fwd_rays = chunk / fwd_s
+    fwd_rays = CHUNK * SAMPLES_PER_CALL / fwd_s
 
-    # ---- forward+backward throughput ----
+    # ---- forward+backward throughput (grads w.r.t. scene params) ----
     params, _ = shard.split_params(scene)
 
     @jax.jit
     def fwdbwd(params, coords, key):
         def loss_fn(p):
             s = shard.merge_params(scene, p)
-            rad = trace_radiance(s, cam, render_wh, bounce, loss, coords, key,
-                                 remat=True)
-            return jnp.mean(rad ** 2)
+
+            def body(i, acc):
+                rad = trace_radiance(s, cam, render_wh, bounce, loss, coords,
+                                     jax.random.fold_in(key, i), remat=True)
+                return acc + jnp.mean(rad ** 2)
+
+            return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body, 0.0)
 
         return jax.grad(loss_fn)(params)
 
@@ -83,7 +102,7 @@ def main():
         g = fwdbwd(params, coords, jax.random.fold_in(key, i))
     jax.block_until_ready(g)
     bwd_s = (time.perf_counter() - t0) / n_iters
-    fwdbwd_rays = chunk / bwd_s
+    fwdbwd_rays = CHUNK * SAMPLES_PER_CALL / bwd_s
 
     value = fwdbwd_rays
     print(json.dumps({
@@ -92,6 +111,8 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
         "fwd_rays_per_s": round(fwd_rays, 1),
+        "samples_per_call": SAMPLES_PER_CALL,
+        "chunk": CHUNK,
         "device": str(jax.devices()[0]),
     }))
 

@@ -75,9 +75,10 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
         return z, z, jnp.zeros((R, 0), bool)
 
     # World -> object space per (ray, prim) pair (rt.rs:729-732).
+    # matvec broadcasts (P,3,3) against (R,P,3)/(R,1,3) on the VPU — no MXU.
     o_rel = orig[:, None, :] - scene.inst_pos[None, :, :]          # (R,P,3)
-    op = jnp.einsum("pij,rpj->rpi", frames, o_rel) + scene.inst_pos[None]
-    dp = jnp.einsum("pij,rj->rpi", frames, dirs)                    # (R,P,3)
+    op = linalg.matvec(frames[None], o_rel) + scene.inst_pos[None]
+    dp = linalg.matvec(frames[None], dirs[:, None, :])              # (R,P,3)
 
     t0_parts, t1_parts, ok_parts = [], [], []
     for kind, count in enumerate(scene.kind_counts):

@@ -116,8 +116,24 @@ def lookat_mat(dir4, up=None):
 
 
 def matvec(m, v):
-    """``(..., 3, 3) @ (..., 3)`` with broadcasting."""
-    return jnp.einsum("...ij,...j->...i", m, v)
+    """``(..., 3, 3) @ (..., 3)`` with broadcasting.
+
+    Expanded to explicit component arithmetic instead of einsum: a 3-wide
+    contraction would otherwise lower to an MXU matmul padded 3->128,
+    wasting ~40x of the systolic array; 9 fused multiply-adds stay on the
+    VPU at full rate.
+    """
+    return jnp.stack(
+        [m[..., i, 0] * v[..., 0] + m[..., i, 1] * v[..., 1]
+         + m[..., i, 2] * v[..., 2] for i in range(3)],
+        axis=-1)
+
+
+def matmul3(a, b):
+    """``(..., 3, 3) @ (..., 3, 3)`` with broadcasting, on the VPU."""
+    rows = [[sum(a[..., i, k] * b[..., k, j] for k in range(3))
+             for j in range(3)] for i in range(3)]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
 def instance_mat(dir4):
@@ -133,4 +149,4 @@ def instance_mat(dir4):
       ``(..., 3, 3)`` matrix ``M = rot_y(-dir) @ lookat(-dir)``.
     """
     neg = -dir4
-    return jnp.einsum("...ij,...jk->...ik", rotate_y_mat(neg), lookat_mat(neg))
+    return matmul3(rotate_y_mat(neg), lookat_mat(neg))

@@ -62,3 +62,29 @@ def test_seed_determinism():
     a = render_image(cfg, seed=5)
     b = render_image(cfg, seed=5)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", [
+    "Default", "CornellBox", "CornellBox2", "dof", "Mesh", "Minecraft",
+    "Instance",
+])
+def test_all_examples_render_smoke(name):
+    """Every shipped example scene renders end-to-end at tiny res.
+
+    Exercises the full tracer over the reference's whole feature matrix:
+    textures + maps (dof/Mesh/Minecraft), flattened meshes (Mesh),
+    instancing (Instance/Minecraft), DOF (dof), glass/metal (CornellBox2).
+    """
+    path = os.path.join(EXAMPLES, f"{name}.json")
+    if not os.path.exists(path):
+        pytest.skip(f"missing {name}.json")
+    with open(path) as f:
+        cfg = schema.RenderConfig.from_json(json.load(f))
+    cfg.frame.res = (32, 18)
+    cfg.frame.ssaa = 1.0
+    cfg.rt.sample = 1
+    cfg.rt.bounce = min(cfg.rt.bounce, 3)
+    img = render_image(cfg)
+    assert img.shape == (18, 32, 3) and img.dtype == np.uint8
+    assert np.isfinite(img.astype(np.float64)).all()
+    assert img.max() > 0  # every example scene has some lit content
