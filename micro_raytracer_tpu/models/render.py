@@ -83,7 +83,9 @@ class Renderer:
         self._accum = [jnp.zeros((self.chunk, 3), jnp.float32)
                        for _ in range(self.n_chunks)]
         self.count = 0
-        self.key = jax.random.PRNGKey(seed)
+        from ..ops.rng import make_key
+
+        self.key = make_key(seed)
         self._loss = jnp.float32(config.rt.loss)
 
     # -- sampling ----------------------------------------------------------
@@ -121,14 +123,16 @@ class Renderer:
     def save_state(self, path: str) -> None:
         """Persist progressive render state (framebuffer, count, rng key)."""
         np.savez(path, accum=np.asarray(jnp.concatenate(self._accum, 0)),
-                 count=self.count, key=np.asarray(jax.random.key_data(self.key)))
+                 count=self.count, key=np.asarray(jax.random.key_data(self.key)),
+                 key_impl=str(jax.random.key_impl(self.key)))
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
         accum = jnp.asarray(data["accum"]).reshape(self.n_chunks, self.chunk, 3)
         self._accum = [accum[i] for i in range(self.n_chunks)]
         self.count = int(data["count"])
-        self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        impl = str(data.get("key_impl", "threefry2x32"))
+        self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]), impl=impl)
 
 
 def render_image(config: RenderConfig, seed: int = 0, on_sample=None,
