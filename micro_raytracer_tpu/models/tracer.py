@@ -40,14 +40,14 @@ def _light_dirs_to(scene: SceneArrays, point):
     return jnp.where(scene.light_is_dir[None, :, None], ld, lp)
 
 
-def trace_records(scene: SceneArrays, frames, kind_arr, bounce: int,
+def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
                   orig, dirs, loss, key, remat: bool = False):
     """Run the forward bounce loop, returning stacked per-bounce records.
 
     Args:
       scene: compiled scene.
       frames: (P,3,3) instance matrices.
-      kind_arr: (P,) kind codes.
+      attrs: (P,K) packed attribute matrix (:func:`intersect.prim_attributes`).
       bounce: static max bounce (path length = bounce+1 records).
       orig, dirs: (R,3) primary rays (E-offset origins).
       loss: scalar energy loss per bounce.
@@ -57,6 +57,7 @@ def trace_records(scene: SceneArrays, frames, kind_arr, bounce: int,
       dict of records with leading axis ``bounce+1``.
     """
     R = orig.shape[0]
+    P = scene.n_prims
     L = scene.n_lights
     decay = 1.0 - jnp.minimum(loss, 1.0)
 
@@ -65,17 +66,23 @@ def trace_records(scene: SceneArrays, frames, kind_arr, bounce: int,
         hit = intersect.closest_hit(scene, frames, o, d)
         live_i = live & hit.hit
 
+        # Winner attributes arrive via one MXU one-hot matmul each (entry
+        # and exit) instead of ~30 per-ray gathers — the gathers dominated
+        # the step time on TPU.
+        at_e = intersect.fetch_attrs(attrs, hit.idx_entry, P)
+        at_x = intersect.fetch_attrs(attrs, hit.idx_exit, P)
+
         # Keep dead lanes finite so no NaNs leak into gradients.
         te = jnp.where(live_i, hit.t_entry, 1.0)
         tx = jnp.where(live_i, hit.t_exit, 1.0)
         entry_p = o + d * te[:, None]
         exit_p = o + d * tx[:, None]
-        n_entry = intersect.normal_at(scene, frames, kind_arr, hit.idx_entry, entry_p)
-        n_exit = intersect.normal_at(scene, frames, kind_arr, hit.idx_exit, exit_p)
+        n_entry = intersect.normal_from_attrs(at_e, entry_p)
+        n_exit = intersect.normal_from_attrs(at_x, exit_p)
         n_entry = jnp.where(jnp.isfinite(n_entry), n_entry, 0.0)
         n_exit = jnp.where(jnp.isfinite(n_exit), n_exit, 0.0)
-        mat_e = intersect.material_at(scene, frames, kind_arr, hit.idx_entry, entry_p)
-        mat_x = intersect.material_at(scene, frames, kind_arr, hit.idx_exit, exit_p)
+        mat_e = intersect.material_from_attrs(scene, at_e, entry_p)
+        mat_x = intersect.material_from_attrs(scene, at_x, exit_p)
 
         k = jax.random.fold_in(key, i)
         u = rng.uniform(k, (R, 7))
@@ -187,7 +194,7 @@ def trace_radiance(scene: SceneArrays, cam: CameraArrays, render_wh,
     u_aprt = rng.uniform(k_cam, (coords.shape[0], 2))
     orig, dirs = camera_mod.gen_rays(cam, render_wh, coords, u_aprt)
     frames = intersect.build_frames(scene)
-    kind_arr = intersect._kind_array(scene)
-    records = trace_records(scene, frames, kind_arr, bounce, orig, dirs,
+    attrs = intersect.prim_attributes(scene, frames)
+    records = trace_records(scene, frames, attrs, bounce, orig, dirs,
                             loss, k_trace, remat=remat)
     return shade_records(scene, records, k_shade)

@@ -159,6 +159,129 @@ class HitInfo:
     idx_exit: Any   # (R,) int32 farthest-exit prim row within the winning group
 
 
+# ---------------------------------------------------------------------------
+# One-hot attribute fetching: instead of ~30 per-ray gathers of the winning
+# primitive's data (frames, geometry, material — each a slow TPU gather), all
+# per-primitive attributes are packed once per trace into a dense (P, K)
+# matrix and the winner's row is fetched with a single one-hot (R, P) @ (P, K)
+# matmul that rides the MXU. The one-hot is constant w.r.t. gradients; the
+# attribute values carry them, so differentiability is unchanged.
+
+
+class AttrView:
+    """Column view over a fetched ``(..., K)`` attribute block."""
+
+    # column layout (K = 34 + 6 map ids when textured)
+    _F = 0          # frames, 9
+    _IPOS = 9       # inst_pos, 3
+    _A = 12         # prim_a, 3
+    _B = 15         # prim_b, 3
+    _C = 18         # prim_c, 3
+    _R = 21         # radius, 1
+    _KIND = 22      # kind one-hot, 4
+    _ALBEDO = 26    # 3
+    _ROUGH = 29
+    _METAL = 30
+    _GLASS = 31
+    _OPACITY = 32
+    _EMIT = 33
+    K = 34
+    _MAPS = 34      # 6 texture ids as f32 (only when has_maps)
+    K_MAPS = 40
+
+    def __init__(self, fetched):
+        self.v = fetched
+
+    @property
+    def frames(self):
+        return self.v[..., self._F:self._F + 9].reshape(self.v.shape[:-1] + (3, 3))
+
+    @property
+    def inst_pos(self):
+        return self.v[..., self._IPOS:self._IPOS + 3]
+
+    @property
+    def prim_a(self):
+        return self.v[..., self._A:self._A + 3]
+
+    @property
+    def prim_b(self):
+        return self.v[..., self._B:self._B + 3]
+
+    @property
+    def prim_c(self):
+        return self.v[..., self._C:self._C + 3]
+
+    @property
+    def radius(self):
+        return self.v[..., self._R]
+
+    def kind_is(self, kind: int):
+        return self.v[..., self._KIND + kind] > 0.5
+
+    @property
+    def albedo(self):
+        return self.v[..., self._ALBEDO:self._ALBEDO + 3]
+
+    @property
+    def rough(self):
+        return self.v[..., self._ROUGH]
+
+    @property
+    def metal(self):
+        return self.v[..., self._METAL]
+
+    @property
+    def glass(self):
+        return self.v[..., self._GLASS]
+
+    @property
+    def opacity(self):
+        return self.v[..., self._OPACITY]
+
+    @property
+    def emit(self):
+        return self.v[..., self._EMIT]
+
+    def map_id(self, slot: int):
+        return self.v[..., self._MAPS + slot].astype(jnp.int32)
+
+
+def prim_attributes(scene: SceneArrays, frames):
+    """Pack all per-primitive attributes into one dense ``(P, K)`` matrix.
+
+    Material scalars are expanded per primitive via tiny (P,)-sized gathers
+    of the material tables — still differentiable leaves; gradients flow
+    back through the gather to the shared material rows.
+    """
+    P = scene.n_prims
+    kind_arr = _kind_array(scene)
+    kind_oh = jax.nn.one_hot(kind_arr, 4, dtype=frames.dtype)
+    m = scene.mat_id
+    cols = [
+        frames.reshape(P, 9),
+        scene.inst_pos,
+        scene.prim_a, scene.prim_b, scene.prim_c,
+        scene.prim_r[:, None],
+        kind_oh,
+        scene.mat_albedo[m],
+        scene.mat_rough[m][:, None],
+        scene.mat_metal[m][:, None],
+        scene.mat_glass[m][:, None],
+        scene.mat_opacity[m][:, None],
+        scene.mat_emit[m][:, None],
+    ]
+    if scene.has_maps:
+        cols.append(scene.mat_maps[m].astype(frames.dtype))  # exact: small ints
+    return jnp.concatenate(cols, axis=1)
+
+
+def fetch_attrs(attrs, idx, n_prims: int) -> AttrView:
+    """Fetch rows of ``attrs`` at ``idx`` via a one-hot MXU matmul."""
+    onehot = jax.nn.one_hot(idx, n_prims, dtype=attrs.dtype)      # (R, P)
+    return AttrView(jax.lax.stop_gradient(onehot) @ attrs)
+
+
 def closest_hit(scene: SceneArrays, frames, orig, dirs) -> HitInfo:
     """Masked argmin over entry t + group-max for the exit hit.
 
@@ -179,6 +302,112 @@ def closest_hit(scene: SceneArrays, frames, orig, dirs) -> HitInfo:
     idx_exit = jnp.argmax(masked_exit, axis=-1).astype(jnp.int32)
     tx = jnp.take_along_axis(masked_exit, idx_exit[:, None], axis=1)[:, 0]
     return HitInfo(hit=hit, t_entry=te, t_exit=tx, idx_entry=win, idx_exit=idx_exit)
+
+
+def normal_from_attrs(at: AttrView, point):
+    """World-space normal from fetched winner attributes (rt.rs:776-793).
+
+    Same math as :func:`normal_at` — object-space normal mapped back through
+    the instance matrix — but over pre-fetched ``(R, K)`` attribute rows
+    instead of per-ray gathers.
+    """
+    M = at.frames
+    ipos = at.inst_pos
+    hp = ipos + linalg.matvec(M, point - ipos)
+
+    n_sph = hp - ipos
+    n_pln = at.prim_a
+    sizes = jnp.where(at.prim_a == 0, 1.0, at.prim_a)
+    p = (hp - ipos) * (2.0 / sizes)
+    def _in(v, target):
+        return jnp.abs(v - target) < EPS
+    ex = jnp.array([1.0, 0.0, 0.0], point.dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], point.dtype)
+    ez = jnp.array([0.0, 0.0, 1.0], point.dtype)
+    zero3 = jnp.zeros_like(point)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    base = jnp.where(_in(px, 1.0)[..., None], ex,
+           jnp.where(_in(px, -1.0)[..., None], -ex,
+           jnp.where(_in(py, 1.0)[..., None], ey,
+           jnp.where(_in(py, -1.0)[..., None], -ey, zero3))))
+    # the z test is NOT chained to the x/y chain (missing `else`, rt.rs:435)
+    n_box = jnp.where(_in(pz, 1.0)[..., None], ez,
+            jnp.where(_in(pz, -1.0)[..., None], -ez, base))
+    n_tri = linalg.cross(at.prim_b - at.prim_a, at.prim_c - at.prim_a)
+
+    n_obj = jnp.where(at.kind_is(schema.KIND_SPHERE)[..., None], n_sph,
+            jnp.where(at.kind_is(schema.KIND_PLANE)[..., None], n_pln,
+            jnp.where(at.kind_is(schema.KIND_BOX)[..., None], n_box, n_tri)))
+    return linalg.normalize(linalg.matvec(M, n_obj))
+
+
+def uv_from_attrs(at: AttrView, point):
+    """Texture coordinates from fetched attributes (rt.rs:468-548)."""
+    M = at.frames
+    ipos = at.inst_pos
+    hp = ipos + linalg.matvec(M, point - ipos)
+
+    v = linalg.normalize(hp - ipos)
+    uv_sph = jnp.stack([
+        0.5 + 0.5 * jnp.arctan2(v[..., 0], -v[..., 1]) / jnp.pi,
+        0.5 - 0.5 * v[..., 2],
+    ], axis=-1)
+    fx = (hp[..., 0] + 0.5) - jnp.trunc(hp[..., 0] + 0.5)
+    fy = (hp[..., 1] + 0.5) - jnp.trunc(hp[..., 1] + 0.5)
+    uv_pln = jnp.stack([jnp.where(fx < 0, 1.0 + fx, fx),
+                        jnp.where(fy < 0, 1.0 + fy, fy)], axis=-1)
+    sizes = jnp.where(at.prim_a == 0, 1.0, at.prim_a)
+    p = (hp - ipos) * (2.0 / sizes)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    def _in(vv, target):
+        return jnp.abs(vv - target) < EPS
+    u_right = jnp.stack([(0.5 + 0.5 * py) / 4.0 + 2.0 / 4.0,
+                         (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_left = jnp.stack([(0.5 - 0.5 * py) / 4.0,
+                        (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_fwd = jnp.stack([(0.5 - 0.5 * px) / 4.0 + 3.0 / 4.0,
+                       (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_back = jnp.stack([(0.5 + 0.5 * px) / 4.0 + 1.0 / 4.0,
+                        (0.5 - 0.5 * pz) / 3.0 + 1.0 / 3.0], axis=-1)
+    u_top = jnp.stack([(0.5 + 0.5 * px) / 4.0 + 1.0 / 4.0,
+                       (0.5 - 0.5 * py) / 3.0], axis=-1)
+    u_bot = jnp.stack([(0.5 + 0.5 * px) / 4.0 + 1.0 / 4.0,
+                       (0.5 + 0.5 * py) / 3.0 + 2.0 / 3.0], axis=-1)
+    uv_box = jnp.where(_in(px, 1.0)[..., None], u_right,
+             jnp.where(_in(px, -1.0)[..., None], u_left,
+             jnp.where(_in(py, 1.0)[..., None], u_fwd,
+             jnp.where(_in(py, -1.0)[..., None], u_back,
+             jnp.where(_in(pz, 1.0)[..., None], u_top,
+             jnp.where(_in(pz, -1.0)[..., None], u_bot,
+                       jnp.zeros_like(u_top)))))))
+    return jnp.where(at.kind_is(schema.KIND_SPHERE)[..., None], uv_sph,
+           jnp.where(at.kind_is(schema.KIND_PLANE)[..., None], uv_pln,
+           jnp.where(at.kind_is(schema.KIND_BOX)[..., None], uv_box,
+                     jnp.zeros_like(uv_sph))))
+
+
+def material_from_attrs(scene: SceneArrays, at: AttrView, point):
+    """Material dict from fetched attributes (rt.rs:811-863)."""
+    out = {
+        "color": at.albedo,
+        "rough": at.rough,
+        "metal": at.metal,
+        "glass": at.glass,
+        "opacity": at.opacity,
+        "emit": at.emit,
+        "metal_scalar": at.metal,
+    }
+    if not scene.has_maps:
+        return out
+    uv = uv_from_attrs(at, point)
+    tex_rgb = sample_texture(scene, at.map_id(0), uv)
+    out["color"] = jnp.where((at.map_id(0) >= 0)[..., None],
+                             out["color"] * tex_rgb, out["color"])
+    for slot, key in ((1, "rough"), (2, "metal"), (3, "glass"),
+                      (4, "opacity"), (5, "emit")):
+        val = sample_texture(scene, at.map_id(slot), uv)[..., 0]
+        out[key] = jnp.where(at.map_id(slot) >= 0, val, out[key])
+    return out
 
 
 def normal_at(scene: SceneArrays, frames, kind_arr, idx, point):

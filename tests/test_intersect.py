@@ -126,3 +126,51 @@ def test_any_hit_occlusion():
     occ = intersect.any_hit(s, frames, jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 2.0]]),
                             jnp.asarray([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]]))
     assert bool(occ[0]) and not bool(occ[1])
+
+
+def test_fetch_attrs_matches_gather_path():
+    """One-hot attribute fetching must equal the gather-based lookups."""
+    import jax
+
+    d = {
+        "renderer": [
+            {"type": "sphere", "r": 0.4, "pos": [0, 1, 0],
+             "mat": {"albedo": [0.9, 0.5, 0.1], "rough": 0.7, "emit": 0.2}},
+            {"type": "box", "sizes": [1, 2, 1], "pos": [2, 0, 0],
+             "dir": [0, 0.5, 0.5, 0], "mat": {"metal": 1.0}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -1],
+             "mat": {"glass": 0.3, "opacity": 0.2}},
+            {"type": "triangle", "vtx": [[0, 2, 0], [1, 2, 0], [0, 2, 1]]},
+        ],
+    }
+    s = compile_scene(schema.SceneConfig.from_json(d))
+    frames = intersect.build_frames(s)
+    kinds = intersect._kind_array(s)
+    attrs = intersect.prim_attributes(s, frames)
+
+    key = jax.random.PRNGKey(3)
+    orig = jax.random.uniform(key, (64, 3), minval=-3, maxval=3)
+    dirs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((64, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    hit = intersect.closest_hit(s, frames, orig, dirs)
+    pt = orig + dirs * jnp.where(hit.hit, hit.t_entry, 1.0)[:, None]
+
+    at = intersect.fetch_attrs(attrs, hit.idx_entry, s.n_prims)
+    n_new = intersect.normal_from_attrs(at, pt)
+    n_old = intersect.normal_at(s, frames, kinds, hit.idx_entry, pt)
+    mask = jnp.isfinite(n_old).all(-1) & jnp.isfinite(n_new).all(-1)
+    np.testing.assert_allclose(np.where(mask[:, None], n_new, 0),
+                               np.where(mask[:, None], n_old, 0),
+                               atol=1e-5)
+
+    m_new = intersect.material_from_attrs(s, at, pt)
+    m_old = intersect.material_at(s, frames, kinds, hit.idx_entry, pt)
+    for k in ("color", "rough", "metal", "glass", "opacity", "emit"):
+        np.testing.assert_allclose(np.asarray(m_new[k]), np.asarray(m_old[k]),
+                                   atol=1e-6, err_msg=k)
+
+    uv_new = intersect.uv_from_attrs(at, pt)
+    uv_old = intersect.uv_at(s, frames, kinds, hit.idx_entry, pt)
+    np.testing.assert_allclose(np.asarray(uv_new), np.asarray(uv_old), atol=1e-5)
