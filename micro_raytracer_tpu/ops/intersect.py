@@ -294,13 +294,15 @@ def closest_hit(scene: SceneArrays, frames, orig, dirs) -> HitInfo:
     hit = jnp.any(valid, axis=-1)
     masked_entry = jnp.where(valid, t_entry, _BIG)
     win = jnp.argmin(masked_entry, axis=-1).astype(jnp.int32)
-    te = jnp.take_along_axis(masked_entry, win[:, None], axis=1)[:, 0]
+    # The winning value IS the min — a reduction, not a take_along_axis
+    # gather (profiling showed the two row-gathers here dominating the step).
+    te = jnp.min(masked_entry, axis=-1)
 
     win_group = scene.group_id[win]                                  # (R,)
     same = valid & (scene.group_id[None, :] == win_group[:, None])
     masked_exit = jnp.where(same, t_exit, -_BIG)
     idx_exit = jnp.argmax(masked_exit, axis=-1).astype(jnp.int32)
-    tx = jnp.take_along_axis(masked_exit, idx_exit[:, None], axis=1)[:, 0]
+    tx = jnp.max(masked_exit, axis=-1)
     return HitInfo(hit=hit, t_entry=te, t_exit=tx, idx_entry=win, idx_exit=idx_exit)
 
 
