@@ -55,7 +55,7 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
         "light_is_dir", "light_pos", "light_dir", "light_pwr", "light_color",
         "sky_color", "sky_pwr",
     ],
-    meta_fields=["kind_counts", "n_lights", "has_maps"],
+    meta_fields=["kind_counts", "n_lights", "has_maps", "any_refract"],
 )
 @dataclass
 class SceneArrays:
@@ -102,6 +102,10 @@ class SceneArrays:
     kind_counts: tuple  # padded rows per kind segment, sums to P
     n_lights: int
     has_maps: bool
+    # True iff any material can refract (opacity<1, glass>0, or an
+    # opacity/glass map). Static: opaque scenes compile without the whole
+    # exit-hit path (fetch, normal, refraction) in the tracer.
+    any_refract: bool = True
 
     @property
     def n_prims(self) -> int:
@@ -303,4 +307,8 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
         sky_color=j(scene.sky.color), sky_pwr=j(scene.sky.pwr),
         kind_counts=tuple(kind_counts), n_lights=L,
         has_maps=bool(textures),
+        any_refract=any(
+            o.mat.opacity != 1.0 or o.mat.glass != 0.0
+            or o.mat.omap is not None or o.mat.gmap is not None
+            for o in scene.objects),
     )

@@ -70,19 +70,23 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
         # and exit) instead of ~30 per-ray gathers — the gathers dominated
         # the step time on TPU.
         at_e = intersect.fetch_attrs(attrs, hit.idx_entry, P)
-        at_x = intersect.fetch_attrs(attrs, hit.idx_exit, P)
 
         # Keep dead lanes finite so no NaNs leak into gradients.
         te = jnp.where(live_i, hit.t_entry, 1.0)
-        tx = jnp.where(live_i, hit.t_exit, 1.0)
         entry_p = o + d * te[:, None]
-        exit_p = o + d * tx[:, None]
         n_entry = intersect.normal_from_attrs(at_e, entry_p)
-        n_exit = intersect.normal_from_attrs(at_x, exit_p)
         n_entry = jnp.where(jnp.isfinite(n_entry), n_entry, 0.0)
-        n_exit = jnp.where(jnp.isfinite(n_exit), n_exit, 0.0)
         mat_e = intersect.material_from_attrs(scene, at_e, entry_p)
-        mat_x = intersect.material_from_attrs(scene, at_x, exit_p)
+
+        # The exit hit only matters for refraction (rt.rs:1054-1058); fully
+        # opaque scenes (static any_refract=False) compile without it.
+        if scene.any_refract:
+            at_x = intersect.fetch_attrs(attrs, hit.idx_exit, P)
+            tx = jnp.where(live_i, hit.t_exit, 1.0)
+            exit_p = o + d * tx[:, None]
+            n_exit = intersect.normal_from_attrs(at_x, exit_p)
+            n_exit = jnp.where(jnp.isfinite(n_exit), n_exit, 0.0)
+            mat_x = intersect.material_from_attrs(scene, at_x, exit_p)
 
         k = jax.random.fold_in(key, i)
         u = rng.uniform(k, (R, 7))
@@ -105,32 +109,47 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
         nr = rng.sphere_rand(n_entry, rough_r, u[:, 1], u[:, 2])
         refl = linalg.normalize(linalg.reflect(d, nr))
 
-        # refract from the exit hit (rt.rs:574-589, 1054-1058)
-        diel_x = (mat_x["metal_scalar"] == 0.0) & (mat_x["opacity"] != 0.0)
-        rough_f = jnp.where(diel_x & (u[:, 3] < 0.8), 1.0, mat_x["rough"])
-        nf = rng.sphere_rand(n_exit, rough_f, u[:, 4], u[:, 5])
-        eta = 1.0 + 0.5 * mat_x["glass"]
-        refr, refr_ok = linalg.refract(d, eta, nf)
-        refr = linalg.normalize(refr)
-        refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
-        choose = (u[:, 6] < jnp.minimum(1.0 - mat_e["opacity"], 0.85)) & refr_ok
+        if scene.any_refract:
+            # refract from the exit hit (rt.rs:574-589, 1054-1058)
+            diel_x = (mat_x["metal_scalar"] == 0.0) & (mat_x["opacity"] != 0.0)
+            rough_f = jnp.where(diel_x & (u[:, 3] < 0.8), 1.0, mat_x["rough"])
+            nf = rng.sphere_rand(n_exit, rough_f, u[:, 4], u[:, 5])
+            eta = 1.0 + 0.5 * mat_x["glass"]
+            refr, refr_ok = linalg.refract(d, eta, nf)
+            refr = linalg.normalize(refr)
+            refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
+            choose = (u[:, 6] < jnp.minimum(1.0 - mat_e["opacity"], 0.85)) & refr_ok
 
-        next_dir = jnp.where(choose[:, None], refr, refl)
-        from_p = jnp.where(choose[:, None], exit_p, entry_p)
+            next_dir = jnp.where(choose[:, None], refr, refl)
+            from_p = jnp.where(choose[:, None], exit_p, entry_p)
+            pick = lambda a, b: jnp.where(
+                choose[:, None] if a.ndim == 2 else choose, a, b)
+            norm = pick(n_exit, n_entry)
+            color = pick(mat_x["color"], mat_e["color"])
+            rough = pick(mat_x["rough"], mat_e["rough"])
+            metal = pick(mat_x["metal"], mat_e["metal"])
+            emit = pick(mat_x["emit"], mat_e["emit"])
+        else:
+            # opaque scene: `choose` is always False (opacity==1 everywhere,
+            # rt.rs:1054's probability is min(1-1, 0.85)=0)
+            next_dir = refl
+            from_p = entry_p
+            norm, color = n_entry, mat_e["color"]
+            rough, metal, emit = mat_e["rough"], mat_e["metal"], mat_e["emit"]
+
         next_orig = from_p + next_dir * EPS                     # Ray::cast
         next_pwr = pwr * decay
 
-        pick = lambda a, b: jnp.where(choose[:, None] if a.ndim == 2 else choose, a, b)
         rec = {
             "live": live_i,
             "p": from_p,
-            "norm": pick(n_exit, n_entry),
+            "norm": norm,
             "dir": d,
             "pwr": pwr,
-            "color": pick(mat_x["color"], mat_e["color"]),
-            "rough": pick(mat_x["rough"], mat_e["rough"]),
-            "metal": pick(mat_x["metal"], mat_e["metal"]),
-            "emit": pick(mat_x["emit"], mat_e["emit"]),
+            "color": color,
+            "rough": rough,
+            "metal": metal,
+            "emit": emit,
             "light_ok": light_ok,
         }
         return (next_orig, next_dir, next_pwr, live_i), rec
