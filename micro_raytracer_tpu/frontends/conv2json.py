@@ -28,14 +28,18 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     out = {}
-    if args.img:
-        tex = assets.load_texture_file(args.img)
-        buf = assets.texture_to_buffer_json(tex)
-        out = {"tex": assets.encode_inline(buf) if args.fmt == "inl" else buf}
-    elif args.obj:
-        mesh = assets.load_obj_mesh(args.obj)
-        buf = assets.mesh_to_buffer_json(mesh)
-        out = {"mesh": assets.encode_inline(buf) if args.fmt == "inl" else buf}
+    try:
+        if args.img:
+            tex = assets.load_texture_file(args.img)
+            buf = assets.texture_to_buffer_json(tex)
+            out = {"tex": assets.encode_inline(buf) if args.fmt == "inl" else buf}
+        elif args.obj:
+            mesh = assets.load_obj_mesh(args.obj)
+            buf = assets.mesh_to_buffer_json(mesh)
+            out = {"mesh": assets.encode_inline(buf) if args.fmt == "inl" else buf}
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
     print(json.dumps(out, indent=2) if args.pretty
           else json.dumps(out, separators=(",", ":")))

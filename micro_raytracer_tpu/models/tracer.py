@@ -107,7 +107,7 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
         diel_e = (mat_e["metal_scalar"] == 0.0) & (mat_e["opacity"] != 0.0)
         rough_r = jnp.where(diel_e & (u[:, 0] < 0.8), 1.0, mat_e["rough"])
         nr = rng.sphere_rand(n_entry, rough_r, u[:, 1], u[:, 2])
-        refl = linalg.normalize(linalg.reflect(d, nr))
+        refl = linalg.safe_normalize(linalg.reflect(d, nr))
 
         if scene.any_refract:
             # refract from the exit hit (rt.rs:574-589, 1054-1058)
@@ -116,7 +116,7 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
             nf = rng.sphere_rand(n_exit, rough_f, u[:, 4], u[:, 5])
             eta = 1.0 + 0.5 * mat_x["glass"]
             refr, refr_ok = linalg.refract(d, eta, nf)
-            refr = linalg.normalize(refr)
+            refr = linalg.safe_normalize(refr)
             refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
             choose = (u[:, 6] < jnp.minimum(1.0 - mat_e["opacity"], 0.85)) & refr_ok
 

@@ -87,25 +87,32 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
         s = scene.seg(kind)
         o_s, d_s = op[:, s], dp[:, s]
         pos = scene.inst_pos[s][None]
+        # All divisions/sqrts below are guarded so invalid lanes never hold
+        # inf/NaN primals: under AD a zero cotangent times an infinite local
+        # derivative still yields NaN, poisoning whole gradient batches.
         if kind == schema.KIND_SPHERE:
             o = o_s - pos
             a = linalg.dot(d_s, d_s)
             b = 2.0 * linalg.dot(o, d_s)
             c = linalg.dot(o, o) - scene.prim_r[s][None] ** 2
             disc = b * b - 4.0 * a * c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = (-b - sq) / (2.0 * a)
-            t1 = (-b + sq) / (2.0 * a)
+            sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
+            a2 = jnp.where(a == 0.0, 1.0, 2.0 * a)
+            t0 = (-b - sq) / a2
+            t1 = (-b + sq) / a2
             ok = (disc >= 0.0) & (t0 >= 0.0)
         elif kind == schema.KIND_PLANE:
             n = linalg.normalize(scene.prim_a[s])[None]             # (1,Pk,3)
             d = -linalg.dot(n, pos)
-            t0 = -(linalg.dot(o_s, n) + d) / linalg.dot(d_s, n)
+            dn = linalg.dot(d_s, n)
+            t0 = -(linalg.dot(o_s, n) + d) / jnp.where(dn == 0.0, 1.0, dn)
             t1 = t0
-            ok = t0 > 0.0
+            ok = (t0 > 0.0) & (dn != 0.0)
         elif kind == schema.KIND_BOX:
-            m = 1.0 / d_s
-            m = jnp.where(jnp.isinf(m), 1.0 / EPS, m)               # rt.rs:306-316
+            # 1/0 -> 1/E (sign dropped), matching rt.rs:306-316, without an
+            # intermediate inf
+            m = 1.0 / jnp.where(d_s == 0.0, 1.0, d_s)
+            m = jnp.where(d_s == 0.0, 1.0 / EPS, m)
             n = (o_s - pos) * m
             k = (0.5 * scene.prim_a[s][None]) * jnp.abs(m)
             t0 = jnp.max(-n - k, axis=-1)
@@ -340,7 +347,7 @@ def normal_from_attrs(at: AttrView, point):
     n_obj = jnp.where(at.kind_is(schema.KIND_SPHERE)[..., None], n_sph,
             jnp.where(at.kind_is(schema.KIND_PLANE)[..., None], n_pln,
             jnp.where(at.kind_is(schema.KIND_BOX)[..., None], n_box, n_tri)))
-    return linalg.normalize(linalg.matvec(M, n_obj))
+    return linalg.safe_normalize(linalg.matvec(M, n_obj))
 
 
 def uv_from_attrs(at: AttrView, point):

@@ -13,6 +13,7 @@ Direction 4-vectors are stored ``[w, x, y, z]`` (lin.rs:10-25, 428-443) where
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-4  # the reference's global intersection epsilon (rt.rs:7)
@@ -46,6 +47,19 @@ def normalize(a):
     return a * (1.0 / mag(a))[..., None]
 
 
+def safe_normalize(a, eps=1e-20):
+    """Gradient-safe normalize: zero vectors map to zero, not NaN.
+
+    The plain :func:`normalize` reproduces Rust float semantics (0 -> NaN),
+    but under AD a NaN/inf primal on a *masked* lane still poisons the
+    backward pass (0 cotangent x inf = NaN). Use this wherever the result
+    is masked or only geometrically meaningful for non-degenerate vectors.
+    """
+    m2 = jnp.sum(a * a, axis=-1)
+    inv = jax.lax.rsqrt(jnp.maximum(m2, eps))
+    return a * inv[..., None]
+
+
 def reflect(v, n):
     """Mirror ``v`` about normal ``n``: ``v - 2 (v.n) n``. (lin.rs:68-70)"""
     return v - n * (2.0 * dot(v, n))[..., None]
@@ -61,7 +75,9 @@ def refract(v, eta, n):
     cos = -dot(n, v)
     k = 1.0 - eta * eta * (1.0 - cos * cos)
     ok = k >= 0.0
-    k_safe = jnp.maximum(k, 0.0)
+    # TIR lanes get k:=1 (not max(k, 0)): sqrt(0) has an infinite gradient
+    # that would poison masked lanes' cotangents under AD.
+    k_safe = jnp.where(ok, jnp.maximum(k, 1e-12), 1.0)
     out = v * eta[..., None] + n * (cos * eta + jnp.sqrt(k_safe))[..., None]
     return out, ok
 

@@ -48,4 +48,4 @@ def sphere_rand(n, rough, u1, u2):
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
     phi = u2 * 2.0 * jnp.pi
     v = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
-    return linalg.normalize(n + rough[..., None] * v)
+    return linalg.safe_normalize(n + rough[..., None] * v)

@@ -97,6 +97,8 @@ def load_obj_mesh(path: str) -> np.ndarray:
             elif parts[0] == "f":
                 idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
                 tris.append(idx)
+    if not tris:
+        raise ValueError(f"no triangle faces found in {path!r}")
     pos = np.asarray(positions, dtype=np.float32)
     out = np.stack([pos[[a, b, c]] for a, b, c in tris], axis=0)
     return out.astype(np.float32)

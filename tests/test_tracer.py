@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,3 +144,32 @@ def test_gradients_wrt_albedo_nonzero():
 
     g = jax.grad(f)(scene.mat_albedo)
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+@pytest.mark.parametrize("field,eps", [
+    ("sky_pwr", 1e-2), ("mat_rough", 1e-2), ("mat_albedo", 1e-2),
+])
+def test_gradients_match_fd_other_params(field, eps):
+    import dataclasses
+
+    scene, cam = make({
+        "renderer": [{"type": "sphere", "r": 0.5,
+                      "mat": {"rough": 0.5, "albedo": [0.8, 0.6, 0.4]}}],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.5}],
+        "sky": {"color": [0.2, 0.2, 0.3], "pwr": 0.4},
+    })
+    coords = jnp.asarray([[32.0, 32.0], [16.0, 48.0]], jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    def f(v):
+        s = dataclasses.replace(scene, **{field: v})
+        return jnp.sum(trace_radiance(s, cam, (64, 64), 3, jnp.float32(0.15),
+                                      coords, key))
+
+    p0 = getattr(scene, field)
+    g = np.asarray(jax.grad(f)(p0))
+    # central differences along the first element
+    delta = np.zeros_like(np.asarray(p0))
+    delta.flat[0] = eps
+    fd = (float(f(p0 + delta)) - float(f(p0 - delta))) / (2 * eps)
+    np.testing.assert_allclose(g.flat[0], fd, rtol=5e-2, atol=1e-4)
