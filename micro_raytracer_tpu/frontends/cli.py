@@ -160,14 +160,18 @@ def raytrace(args, cfg: schema.RenderConfig) -> float:
     # --update renders one sample per pass so every sample can be saved;
     # otherwise passes are fused for device efficiency.
     step = 1 if args.update else min(max(remaining, 1), 16)
+    from ..utils.profiling import device_trace, rays_per_second
+
     sample = r.count
-    while sample < cfg.rt.sample:
-        n = min(step, cfg.rt.sample - sample)
-        dt = r.execute_many(n)
-        sample += n
-        log.info("cli:sample:%d: %.3fs", sample - 1, dt)
-        if args.update:
-            _save(r.img(), filename)
+    with device_trace():
+        while sample < cfg.rt.sample:
+            n = min(step, cfg.rt.sample - sample)
+            dt = r.execute_many(n)
+            sample += n
+            log.info("cli:sample:%d: %.3fs (%.2fM rays/s)", sample - 1, dt,
+                     rays_per_second(r.n_pix, n, dt) / 1e6)
+            if args.update:
+                _save(r.img(), filename)
 
     _save(r.img(), filename)
     if args.save_state:

@@ -102,7 +102,9 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
             t1 = (-b + sq) / a2
             ok = (disc >= 0.0) & (t0 >= 0.0)
         elif kind == schema.KIND_PLANE:
-            n = linalg.normalize(scene.prim_a[s])[None]             # (1,Pk,3)
+            # safe: zero-padded rows otherwise put NaN primals in the whole
+            # column and poison gradients through the masked reductions
+            n = linalg.safe_normalize(scene.prim_a[s])[None]        # (1,Pk,3)
             d = -linalg.dot(n, pos)
             dn = linalg.dot(d_s, n)
             t0 = -(linalg.dot(o_s, n) + d) / jnp.where(dn == 0.0, 1.0, dn)

@@ -28,15 +28,15 @@ def to_u8(img):
 def finalize(accum, count, gamma, exp, out_wh):
     """Accumulated (H, W, 3) sums + count -> tonemapped, resized u8 image.
 
-    Downsampling happens on the quantization-free float image, then
-    quantizes — matching the reference's order (quantize at supersampled
-    res, then Lanczos3 resize) closely; it quantizes before resizing, we
-    quantize after to avoid double rounding. Tolerance-level difference.
+    Matches the reference's order exactly (sampler.rs:85-98): tonemap and
+    quantize to u8 at the supersampled resolution, then Lanczos3-resize the
+    8-bit image down to the output resolution.
     """
     mean = accum / count
-    mapped = tonemap(mean, gamma, exp)
+    mapped = to_u8(tonemap(mean, gamma, exp))
     w, h = out_wh
     if mapped.shape[:2] != (h, w):
-        mapped = jax.image.resize(mapped, (h, w, 3), method="lanczos3",
-                                  antialias=True)
-    return to_u8(mapped)
+        mapped = jax.image.resize(mapped.astype(jnp.float32), (h, w, 3),
+                                  method="lanczos3", antialias=True)
+        mapped = jnp.clip(jnp.round(mapped), 0.0, 255.0).astype(jnp.uint8)
+    return mapped
