@@ -23,10 +23,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import intersect, linalg, rng
+from ..ops import intersect, linalg, pallas_hit, rng
 from ..ops.linalg import EPS
 from .compiler import CameraArrays, SceneArrays
 from . import camera as camera_mod
+
+
+def _closest_hit(scene, frames, o, d):
+    """Pallas fused kernel on TPU, dense jnp sweep elsewhere."""
+    if pallas_hit.available():
+        return pallas_hit.closest_hit_fast(scene, frames, o, d)
+    return intersect.closest_hit(scene, frames, o, d)
+
+
+def _any_hit(scene, frames, o, d):
+    """Occlusion query for shadow rays (boolean, gradient-free)."""
+    if pallas_hit.available():
+        return jax.lax.stop_gradient(
+            pallas_hit.closest_hit_fast(scene, frames, o, d).hit)
+    return intersect.any_hit(scene, frames, o, d)
 
 
 def _light_dirs_to(scene: SceneArrays, point):
@@ -63,7 +78,7 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
 
     def step(carry, i):
         o, d, pwr, live = carry
-        hit = intersect.closest_hit(scene, frames, o, d)
+        hit = _closest_hit(scene, frames, o, d)
         live_i = live & hit.hit
 
         # Winner attributes arrive via one MXU one-hot matmul each (entry
@@ -96,9 +111,9 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
             lvec = _light_dirs_to(scene, entry_p)               # (R,L,3)
             ldir = linalg.normalize(lvec)
             sorig = entry_p[:, None, :] + ldir * EPS            # Ray::cast_default
-            occ = intersect.any_hit(scene, frames,
-                                    sorig.reshape(R * L, 3),
-                                    ldir.reshape(R * L, 3)).reshape(R, L)
+            occ = _any_hit(scene, frames,
+                           sorig.reshape(R * L, 3),
+                           ldir.reshape(R * L, 3)).reshape(R, L)
             light_ok = (~occ) & live_i[:, None]
         else:
             light_ok = jnp.zeros((R, 0), bool)
