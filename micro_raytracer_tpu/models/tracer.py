@@ -29,16 +29,26 @@ from .compiler import CameraArrays, SceneArrays
 from . import camera as camera_mod
 
 
+# The Pallas kernel is opt-in (see pallas_hit.available): the dense sweep
+# measured faster at small P and the SMEM prim table overflows at large P.
+# Bounded here to the regime that compiles.
+_PALLAS_MAX_PRIMS = 256
+
+
+def _use_pallas(scene) -> bool:
+    return pallas_hit.available() and scene.n_prims <= _PALLAS_MAX_PRIMS
+
+
 def _closest_hit(scene, frames, o, d):
-    """Pallas fused kernel on TPU, dense jnp sweep elsewhere."""
-    if pallas_hit.available():
+    """Opt-in Pallas fused kernel on TPU, dense jnp sweep by default."""
+    if _use_pallas(scene):
         return pallas_hit.closest_hit_fast(scene, frames, o, d)
     return intersect.closest_hit(scene, frames, o, d)
 
 
 def _any_hit(scene, frames, o, d):
     """Occlusion query for shadow rays (boolean, gradient-free)."""
-    if pallas_hit.available():
+    if _use_pallas(scene):
         return jax.lax.stop_gradient(
             pallas_hit.closest_hit_fast(scene, frames, o, d).hit)
     return intersect.any_hit(scene, frames, o, d)

@@ -356,5 +356,11 @@ def closest_hit_fast(scene, frames, orig, dirs, interpret=False):
 
 
 def available() -> bool:
-    return (os.environ.get("MRT_NO_PALLAS") != "1"
+    """Opt-in: measured on TPU v5e the dense sweep wins at small P
+    (CornellBox P=16: 21M vs 17M rays/s fwd) and the SMEM prim table
+    overflows at P~1000 (Mesh.json fails to compile), leaving a narrow
+    beneficial regime. Enable explicitly with MRT_PALLAS=1 while the
+    vectorized-prim-block variant is developed.
+    """
+    return (os.environ.get("MRT_PALLAS") == "1"
             and jax.default_backend() not in ("cpu",))

@@ -67,6 +67,13 @@ GOLDENS = {
 }
 
 
+# Published images rendered from shipped example files rather than CLI
+# commands: out4 is dof.json (README.md:11 hero image).
+GOLDEN_FILES = {
+    "out4": "/root/reference/example/dof.json",
+}
+
+
 def downsample(img: np.ndarray, f: int) -> np.ndarray:
     h, w = img.shape[:2]
     h2, w2 = h // f * f, w // f * f
@@ -79,7 +86,10 @@ def run_golden(name: str, sample: int, save_dir: str | None = None) -> dict:
     from micro_raytracer_tpu.frontends import cli
     from micro_raytracer_tpu.models.render import render_image
 
-    cfg = cli.parse_render(cli.build_parser().parse_args(GOLDENS[name]))
+    if name in GOLDEN_FILES:
+        cfg = cli.parse_render(cli.build_parser().parse_args([GOLDEN_FILES[name]]))
+    else:
+        cfg = cli.parse_render(cli.build_parser().parse_args(GOLDENS[name]))
     cfg.rt.sample = sample
     ours = render_image(cfg).astype(np.float32)
     ref = np.asarray(
