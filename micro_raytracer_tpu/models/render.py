@@ -63,7 +63,12 @@ class Renderer:
     mean.  ``execute_many(n)`` fuses n samples into one device call.
     """
 
-    def __init__(self, config: RenderConfig, seed: int = 0, chunk: int | None = None):
+    def __init__(self, config: RenderConfig, seed: int = 0,
+                 chunk: int | None = None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis —
+        ray chunks shard across it and XLA partitions the (embarrassingly
+        parallel) trace with no collectives; the accumulation framebuffer
+        stays sharded until :meth:`framebuffer` gathers it."""
         from ..utils.cache import enable_compile_cache
 
         enable_compile_cache()
@@ -75,6 +80,10 @@ class Renderer:
         self.n_pix = nw * nh
         self.chunk = chunk or _pick_chunk(self.n_pix, self.scene.n_prims,
                                           self.scene.n_lights)
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            self.chunk = -(-self.chunk // dp) * dp  # divisible by dp
         n_pad = -(-self.n_pix // self.chunk) * self.chunk
         ys, xs = np.divmod(np.arange(n_pad, dtype=np.int64), nw)
         coords = np.stack([xs, ys], axis=-1).astype(np.float32)
@@ -82,6 +91,13 @@ class Renderer:
         self.n_chunks = self._coords.shape[0]
         self._accum = [jnp.zeros((self.chunk, 3), jnp.float32)
                        for _ in range(self.n_chunks)]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ray_sh = NamedSharding(mesh, PartitionSpec(None, "dp"))
+            self._coords = jax.device_put(self._coords, ray_sh)
+            acc_sh = NamedSharding(mesh, PartitionSpec("dp"))
+            self._accum = [jax.device_put(a, acc_sh) for a in self._accum]
         self.count = 0
         from ..ops.rng import make_key
 

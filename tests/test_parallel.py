@@ -78,3 +78,32 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (1024, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_renderer_mesh_sharded_matches_single():
+    """Renderer(mesh=...) shards rays over dp with no semantic change."""
+    from micro_raytracer_tpu.models.render import Renderer
+    from micro_raytracer_tpu.models import schema as sch
+
+    cfg = sch.RenderConfig.from_json({
+        "frame": {"res": [64, 32]},
+        "scene": SCENE,
+    })
+    cfg.rt.sample = 2
+    cfg.rt.bounce = 2
+    single = Renderer(cfg, seed=3)
+    single.execute_many(2)
+    mesh = make_mesh(8, sp=1)
+    sharded = Renderer(cfg, seed=3, mesh=mesh, chunk=single.chunk)
+    sharded.execute_many(2)
+    np.testing.assert_allclose(sharded.framebuffer(), single.framebuffer(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_helpers_single_process():
+    from micro_raytracer_tpu.parallel import distributed
+
+    distributed.initialize()  # no-op single process
+    assert distributed.is_primary()
+    lo, hi = distributed.local_slice(100)
+    assert (lo, hi) == (0, 100)
