@@ -74,19 +74,21 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
         z = jnp.zeros((R, 0), orig.dtype)
         return z, z, jnp.zeros((R, 0), bool)
 
-    # World -> object space per (ray, prim) pair (rt.rs:729-732).
-    # matvec broadcasts (P,3,3) against (R,P,3)/(R,1,3) on the VPU — no MXU.
-    o_rel = orig[:, None, :] - scene.inst_pos[None, :, :]          # (R,P,3)
-    op = linalg.matvec(frames[None], o_rel) + scene.inst_pos[None]
-    dp = linalg.matvec(frames[None], dirs[:, None, :])              # (R,P,3)
-
     t0_parts, t1_parts, ok_parts = [], [], []
     for kind, count in enumerate(scene.kind_counts):
         if count == 0:
             continue
         s = scene.seg(kind)
-        o_s, d_s = op[:, s], dp[:, s]
         pos = scene.inst_pos[s][None]
+        # World -> object space per (ray, prim) pair (rt.rs:729-732),
+        # computed per kind segment so each branch's (R, Pk, 3)
+        # intermediates fuse into that branch instead of materializing one
+        # full (R, P, 3) tensor that every branch re-reads from HBM.
+        # matvec broadcasts (Pk,3,3) against (R,Pk,3)/(R,1,3) on the VPU.
+        fr_s = frames[s][None]
+        o_rel = orig[:, None, :] - pos                              # (R,Pk,3)
+        o_s = linalg.matvec(fr_s, o_rel) + pos
+        d_s = linalg.matvec(fr_s, dirs[:, None, :])                  # (R,Pk,3)
         # All divisions/sqrts below are guarded so invalid lanes never hold
         # inf/NaN primals: under AD a zero cotangent times an infinite local
         # derivative still yields NaN, poisoning whole gradient batches.
