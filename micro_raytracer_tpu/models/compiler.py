@@ -21,7 +21,6 @@ non-differentiable leaves; Python-int counts are static metadata.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Any

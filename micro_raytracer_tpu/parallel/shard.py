@@ -9,7 +9,6 @@ shard over ``sp`` and are averaged with a ``psum``; parameter gradients are
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
