@@ -67,7 +67,7 @@ def make_sharded_render(mesh, render_wh, bounce):
     return jax.jit(fn)
 
 
-def make_train_step(mesh, render_wh, bounce, lr=1e-2):
+def make_train_step(mesh, render_wh, bounce, lr=1e-2, remat=False):
     """Full differentiable render-and-fit step over the mesh.
 
     Inverse-rendering objective: L2 between rendered radiance and a target
@@ -84,8 +84,10 @@ def make_train_step(mesh, render_wh, bounce, lr=1e-2):
 
         def loss_fn(p):
             s = merge_params(scene, p)
+            # remat=False default: measured ~1.5x faster on TPU when the
+            # residuals fit; pass remat=True for memory-constrained shapes
             rad = trace_radiance(s, cam, render_wh, bounce, loss_cfg, coords, k,
-                                 remat=True)
+                                 remat=remat)
             rad = jax.lax.pmean(rad, "sp")  # average samples across sp chips
             return jnp.mean((rad - target) ** 2)
 

@@ -69,8 +69,7 @@ def main(argv=None) -> int:
     def render(scene, key, spp):
         def body(i, acc):
             return acc + trace_radiance(scene, cam, wh, bounce, loss_cfg,
-                                        coords, jax.random.fold_in(key, i),
-                                        remat=True)
+                                        coords, jax.random.fold_in(key, i))
         return jax.lax.fori_loop(0, spp, body,
                                  jnp.zeros((n_pix, 3), jnp.float32)) / spp
 
