@@ -43,7 +43,8 @@ def _closest_hit(scene, frames, o, d):
     """Opt-in Pallas fused kernel on TPU, dense jnp sweep by default."""
     if _use_pallas(scene):
         return pallas_hit.closest_hit_fast(scene, frames, o, d)
-    return intersect.closest_hit(scene, frames, o, d)
+    return intersect.closest_hit(scene, frames, o, d,
+                                 need_exit=scene.any_refract)
 
 
 def _any_hit(scene, frames, o, d):

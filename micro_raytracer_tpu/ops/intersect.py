@@ -293,7 +293,8 @@ def fetch_attrs(attrs, idx, n_prims: int) -> AttrView:
     return AttrView(jax.lax.stop_gradient(onehot) @ attrs)
 
 
-def closest_hit(scene: SceneArrays, frames, orig, dirs) -> HitInfo:
+def closest_hit(scene: SceneArrays, frames, orig, dirs,
+                need_exit: bool = True) -> HitInfo:
     """Masked argmin over entry t + group-max for the exit hit.
 
     The winner is the (object, instance) pair with the smallest entry ``t``
@@ -308,6 +309,12 @@ def closest_hit(scene: SceneArrays, frames, orig, dirs) -> HitInfo:
     # The winning value IS the min — a reduction, not a take_along_axis
     # gather (profiling showed the two row-gathers here dominating the step).
     te = jnp.min(masked_entry, axis=-1)
+
+    if not need_exit:
+        # Only refraction consumes the exit hit (rt.rs:1054-1058); opaque
+        # scenes skip the whole group-max sweep.
+        return HitInfo(hit=hit, t_entry=te, t_exit=te,
+                       idx_entry=win, idx_exit=win)
 
     win_group = scene.group_id[win]                                  # (R,)
     same = valid & (scene.group_id[None, :] == win_group[:, None])

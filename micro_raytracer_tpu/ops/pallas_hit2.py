@@ -53,8 +53,9 @@ def _kernel(kind_counts,
             fr, ipos, pa, pb, pc, pr, gid, valid,     # VMEM (P, k)
             ox, oy, oz, dx, dy, dz,                   # VMEM (1, 128) ray tiles
             te_o, tx_o, hit_o, ie_o, ix_o):           # VMEM (1, 128) outputs
-    o = (ox[:], oy[:], oz[:])          # (1,128) each
-    d = (dx[:], dy[:], dz[:])
+    # ray refs are (1, 1, 128) blocks; drop the grid dim -> (1, 128)
+    o = (ox[0], oy[0], oz[0])
+    d = (dx[0], dy[0], dz[0])
 
     rid8 = jax.lax.broadcasted_iota(jnp.int32, (PRIM_BLOCK, LANES), 0)
 
@@ -188,11 +189,11 @@ def _kernel(kind_counts,
 
         t_exit, i_exit = jax.lax.fori_loop(b0, b1, body2, (t_exit, i_exit))
 
-    te_o[:] = t_best
-    tx_o[:] = t_exit
-    hit_o[:] = (g_best != -2).astype(jnp.int32)
-    ie_o[:] = jnp.where(i_best == 2**30, 0, i_best)
-    ix_o[:] = jnp.where(i_exit == 2**30, 0, i_exit)
+    te_o[0] = t_best
+    tx_o[0] = t_exit
+    hit_o[0] = (g_best != -2).astype(jnp.int32)
+    ie_o[0] = jnp.where(i_best == 2**30, 0, i_best)
+    ix_o[0] = jnp.where(i_exit == 2**30, 0, i_exit)
 
 
 def _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid, valid,
@@ -200,21 +201,24 @@ def _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid, valid,
     R = orig.shape[0]
     assert R % RAY_TILE == 0, R
     grid = R // RAY_TILE
-    comps = [c.reshape(-1, LANES) for c in
+    # (grid, 1, 128) with a (1, 1, 128) block: the trailing two dims are
+    # (1, 128) where 1 equals the full array dim — satisfies the TPU block
+    # divisibility rule while keeping a 128-ray lane tile per step.
+    comps = [c.reshape(-1, 1, LANES) for c in
              (orig[:, 0], orig[:, 1], orig[:, 2],
               dirs[:, 0], dirs[:, 1], dirs[:, 2])]
 
-    ray_spec = pl.BlockSpec((RAY_TILE_ROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((R // LANES, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((R // LANES, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((R // LANES, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((R // LANES, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((R // LANES, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid, 1, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, 1, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, 1, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid, 1, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid, 1, LANES), jnp.int32),
     ]
-    out_specs = [pl.BlockSpec((RAY_TILE_ROWS, LANES), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM) for _ in range(5)]
 
     te, tx, hit, ie, ix = pl.pallas_call(
