@@ -139,6 +139,33 @@ def compile_camera(cam: schema.CameraConfig) -> CameraArrays:
     )
 
 
+def _morton_order(tris: np.ndarray) -> np.ndarray:
+    """Spatially coherent triangle order (Morton code of centroids).
+
+    Blocks of adjacent rows then have tight bounding boxes, which is what
+    makes per-block AABB culling effective (the TPU-idiomatic replacement
+    for the reference's octree BVH, rt.rs:630-703). Order within a mesh
+    group doesn't affect hit semantics — the entry/exit reductions are
+    order-free.
+    """
+    if tris.shape[0] <= 8:
+        return np.arange(tris.shape[0])
+    c = tris.mean(axis=1)  # (T, 3) centroids
+    lo, hi = c.min(0), c.max(0)
+    q = ((c - lo) / np.maximum(hi - lo, 1e-12) * 1023).astype(np.uint64)
+
+    def spread(v):
+        v &= 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
     """Flatten a :class:`~.schema.SceneConfig` into :class:`SceneArrays`."""
     # -- collect rows per kind --
@@ -195,7 +222,7 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
                 v = obj.geometry["vtx"]
                 push(v[0], v[1], v[2], 0.0)
             elif obj.kind == "mesh":
-                for t in range(tris.shape[0]):
+                for t in _morton_order(tris):
                     push(tris[t, 0], tris[t, 1], tris[t, 2], 0.0)
 
     # An empty scene still gets one all-invalid sphere segment so every
