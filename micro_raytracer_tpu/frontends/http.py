@@ -89,6 +89,13 @@ class HttpServer:
             raw = conn.recv(_MAX_HEADER)
             if not raw:
                 return
+            # headers may span several TCP segments — drain until the blank
+            # line (bounded by _MAX_HEADER)
+            while b"\r\n\r\n" not in raw and len(raw) < _MAX_HEADER:
+                more = conn.recv(_MAX_HEADER)
+                if not more:
+                    break
+                raw += more
             try:
                 method, _uri, version, headers, body = _parse_request(raw)
             except ValueError:

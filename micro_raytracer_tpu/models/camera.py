@@ -49,9 +49,10 @@ def gen_rays(cam: CameraArrays, render_wh, coords, u_aprt):
         [jitter[:, 0], jnp.zeros_like(jitter[:, 0]), jitter[:, 1]], axis=-1)
     new_dir = linalg.normalize(p - pos)
 
-    # orientation (rt.rs:924-930)
-    M = jnp.einsum("ij,jk->ik", linalg.rotate_y_mat(cam.dir), linalg.lookat_mat(cam.dir))
-    dirs = jnp.einsum("ij,rj->ri", M, new_dir)
+    # orientation (rt.rs:924-930); explicit component math keeps full f32
+    # precision (TPU einsum would default to bf16 matmul inputs)
+    M = linalg.matmul3(linalg.rotate_y_mat(cam.dir), linalg.lookat_mat(cam.dir))
+    dirs = linalg.matvec(M[None], new_dir)
 
     orig = pos + dirs * EPS  # Ray::cast_default offset
     return orig, dirs

@@ -36,11 +36,6 @@ def _pick_chunk(n_pix: int, n_prims: int, n_lights: int) -> int:
     return min(c, max(1024, -(-n_pix // 1024) * 1024))
 
 
-@partial(jax.jit, static_argnames=("render_wh", "bounce"))
-def _sample_chunk(scene, cam, render_wh, bounce, loss, coords, key):
-    return trace_radiance(scene, cam, render_wh, bounce, loss, coords, key)
-
-
 @partial(jax.jit, static_argnames=("render_wh", "bounce", "n_samples"),
          donate_argnames=("accum",))
 def _sample_chunk_many(scene, cam, render_wh, bounce, n_samples, loss,
@@ -146,6 +141,11 @@ class Renderer:
         data = np.load(path)
         accum = jnp.asarray(data["accum"]).reshape(self.n_chunks, self.chunk, 3)
         self._accum = [accum[i] for i in range(self.n_chunks)]
+        if self.mesh is not None:  # restore device-mesh sharding
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            acc_sh = NamedSharding(self.mesh, PartitionSpec("dp"))
+            self._accum = [jax.device_put(a, acc_sh) for a in self._accum]
         self.count = int(data["count"])
         impl = str(data.get("key_impl", "threefry2x32"))
         self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]), impl=impl)

@@ -42,7 +42,8 @@ def _use_pallas(scene) -> bool:
 def _closest_hit(scene, frames, o, d):
     """Opt-in Pallas fused kernel on TPU, dense jnp sweep by default."""
     if _use_pallas(scene):
-        return pallas_hit.closest_hit_fast(scene, frames, o, d)
+        return pallas_hit.closest_hit_fast(scene, frames, o, d,
+                                           need_exit=scene.any_refract)
     return intersect.closest_hit(scene, frames, o, d,
                                  need_exit=scene.any_refract)
 
@@ -51,7 +52,8 @@ def _any_hit(scene, frames, o, d):
     """Occlusion query for shadow rays (boolean, gradient-free)."""
     if _use_pallas(scene):
         return jax.lax.stop_gradient(
-            pallas_hit.closest_hit_fast(scene, frames, o, d).hit)
+            pallas_hit.closest_hit_fast(scene, frames, o, d,
+                                        need_exit=False).hit)
     return intersect.any_hit(scene, frames, o, d)
 
 

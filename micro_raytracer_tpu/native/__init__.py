@@ -108,6 +108,11 @@ def http_serve(host: str, port: int, render_fn) -> int:
     """
     global _active_cb
     lib = _load()
+    # the C side uses inet_addr(), which cannot resolve hostnames
+    if host and not host.replace(".", "").isdigit():
+        import socket
+
+        host = socket.gethostbyname(host)
 
     def cb(body, length, out, out_len):
         try:

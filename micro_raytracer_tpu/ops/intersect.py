@@ -288,9 +288,16 @@ def prim_attributes(scene: SceneArrays, frames):
 
 
 def fetch_attrs(attrs, idx, n_prims: int) -> AttrView:
-    """Fetch rows of ``attrs`` at ``idx`` via a one-hot MXU matmul."""
+    """Fetch rows of ``attrs`` at ``idx`` via a one-hot MXU matmul.
+
+    Precision MUST be highest: the TPU default truncates matmul inputs to
+    bfloat16, which destroys the fetched geometry (the box-normal face test
+    compares against an EPS=1e-4 window that bf16 cannot represent).
+    """
     onehot = jax.nn.one_hot(idx, n_prims, dtype=attrs.dtype)      # (R, P)
-    return AttrView(jax.lax.stop_gradient(onehot) @ attrs)
+    fetched = jax.lax.dot(jax.lax.stop_gradient(onehot), attrs,
+                          precision=jax.lax.Precision.HIGHEST)
+    return AttrView(fetched)
 
 
 def closest_hit(scene: SceneArrays, frames, orig, dirs,

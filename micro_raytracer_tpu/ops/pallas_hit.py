@@ -21,8 +21,8 @@ Structure per tile (TILE = 8*128 rays):
           running (t_best, idx_best, group_best)
   pass 2  same sweep; among ``ok & (group == group_best)`` take max t1.
 
-Used automatically on TPU (``MRT_NO_PALLAS=1`` opts out); every other
-backend falls back to the dense jnp path.
+Opt-in via ``MRT_PALLAS=1`` on TPU (see :func:`available` for the measured
+reasons); every other backend falls back to the dense jnp path.
 """
 
 from __future__ import annotations
@@ -54,7 +54,7 @@ def _seg_bounds(kind_counts):
 
 # ---------------------------------------------------------------- kernel --
 
-def _hit_kernel(kind_counts,
+def _hit_kernel(kind_counts, need_exit,
                 fr, ipos, pa, pb, pc, pr, gid, valid,      # SMEM (P, ...)
                 ox, oy, oz, dx, dy, dz,                    # VMEM (8,128)
                 te_o, tx_o, hit_o, ie_o, ix_o):            # VMEM outputs
@@ -162,22 +162,27 @@ def _hit_kernel(kind_counts,
         t_best, i_best, g_best = jax.lax.fori_loop(
             start, start + count, body, (t_best, i_best, g_best))
 
-    t_exit = jnp.full(shape, -_BIG, jnp.float32)
-    i_exit = jnp.zeros(shape, jnp.int32)
-    for kind, (start, count) in enumerate(_seg_bounds(kind_counts)):
-        if count == 0:
-            continue
+    if not need_exit:
+        # only refraction consumes the exit hit; opaque scenes compile
+        # without the whole second sweep
+        t_exit, i_exit = t_best, i_best
+    else:
+        t_exit = jnp.full(shape, -_BIG, jnp.float32)
+        i_exit = jnp.zeros(shape, jnp.int32)
+        for kind, (start, count) in enumerate(_seg_bounds(kind_counts)):
+            if count == 0:
+                continue
 
-        def body2(p, carry, kind=kind):
-            t_exit, i_exit = carry
-            _, t1, ok = prim_t(kind, p)
-            upd = ok & (gid[p, 0] == g_best) & (t1 > t_exit)
-            t_exit = jnp.where(upd, t1, t_exit)
-            i_exit = jnp.where(upd, p, i_exit)
-            return t_exit, i_exit
+            def body2(p, carry, kind=kind):
+                t_exit, i_exit = carry
+                _, t1, ok = prim_t(kind, p)
+                upd = ok & (gid[p, 0] == g_best) & (t1 > t_exit)
+                t_exit = jnp.where(upd, t1, t_exit)
+                i_exit = jnp.where(upd, p, i_exit)
+                return t_exit, i_exit
 
-        t_exit, i_exit = jax.lax.fori_loop(
-            start, start + count, body2, (t_exit, i_exit))
+            t_exit, i_exit = jax.lax.fori_loop(
+                start, start + count, body2, (t_exit, i_exit))
 
     te_o[:] = t_best
     tx_o[:] = t_exit
@@ -186,8 +191,8 @@ def _hit_kernel(kind_counts,
     ix_o[:] = i_exit
 
 
-def _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid, valid,
-                orig, dirs, interpret=False):
+def _run_kernel(kind_counts, need_exit, fr, ipos, pa, pb, pc, pr, gid,
+                valid, orig, dirs, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -212,7 +217,7 @@ def _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid, valid,
                               memory_space=pltpu.VMEM) for _ in range(5)]
 
     te, tx, hit, ie, ix = pl.pallas_call(
-        partial(_hit_kernel, tuple(kind_counts)),
+        partial(_hit_kernel, tuple(kind_counts), need_exit),
         grid=(grid,),
         in_specs=[smem()] * 8 + [ray_spec] * 6,
         out_specs=out_specs,
@@ -278,12 +283,16 @@ def _winner_t(kind_oh, fr_r, ipos_r, pa_r, pb_r, pc_r, pr_r, orig, dirs):
 
 def _fetch_rows(idx, P, fr, ipos, pa, pb, pc, pr):
     onehot = jax.nn.one_hot(idx, P, dtype=fr.dtype)          # (R,P)
-    f = lambda m: onehot @ m.reshape(P, -1)
+    # highest precision: bf16 matmul truncation would corrupt the winner
+    # geometry used for the analytic backward recompute
+    f = lambda m: jax.lax.dot(onehot, m.reshape(P, -1),
+                              precision=jax.lax.Precision.HIGHEST)
     return (f(fr).reshape(-1, 3, 3), f(ipos), f(pa), f(pb), f(pc),
-            (onehot @ pr[:, None])[:, 0])
+            f(pr[:, None])[:, 0])
 
 
-def closest_hit_fast(scene, frames, orig, dirs, interpret=False):
+def closest_hit_fast(scene, frames, orig, dirs, interpret=False,
+                     need_exit=True):
     """Pallas-backed drop-in for ``intersect.closest_hit``.
 
     Pads the ray batch to a TILE multiple; returns the same HitInfo fields.
@@ -292,15 +301,16 @@ def closest_hit_fast(scene, frames, orig, dirs, interpret=False):
     """
     from . import intersect as _intersect
 
+    from . import intersect as _intersect_mod
+
     kind_counts = tuple(scene.kind_counts)
     gid, valid = scene.group_id, scene.prim_valid
-    kind_arr = jnp.concatenate([
-        jnp.full((c,), k, jnp.int32) for k, c in enumerate(kind_counts) if c])
+    kind_arr = _intersect_mod._kind_array(scene)
 
     @jax.custom_vjp
     def core(fr, ipos, pa, pb, pc, pr, o, d):
-        return _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid,
-                           valid, o, d, interpret=interpret)
+        return _run_kernel(kind_counts, need_exit, fr, ipos, pa, pb, pc, pr,
+                           gid, valid, o, d, interpret=interpret)
 
     def fwd(fr, ipos, pa, pb, pc, pr, o, d):
         out = core(fr, ipos, pa, pb, pc, pr, o, d)

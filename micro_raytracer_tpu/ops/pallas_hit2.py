@@ -41,15 +41,10 @@ from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
-def _seg_bounds(kind_counts):
-    out, start = [], 0
-    for c in kind_counts:
-        out.append((start, c))
-        start += c
-    return out
+from .pallas_hit import _seg_bounds  # shared segment-bounds helper
 
 
-def _kernel(kind_counts,
+def _kernel(kind_counts, need_exit,
             fr, ipos, pa, pb, pc, pr, gid, valid,     # VMEM (P, k)
             ox, oy, oz, dx, dy, dz,                   # VMEM (1, 128) ray tiles
             te_o, tx_o, hit_o, ie_o, ix_o):           # VMEM (1, 128) outputs
@@ -166,28 +161,34 @@ def _kernel(kind_counts,
         t_best, i_best, g_best = jax.lax.fori_loop(
             b0, b1, body, (t_best, i_best, g_best))
 
-    t_exit = jnp.full(shape, -_BIG, jnp.float32)
-    i_exit = jnp.zeros(shape, jnp.int32)
-    for kind, (start, count) in enumerate(_seg_bounds(kind_counts)):
-        if count == 0:
-            continue
-        b0, b1 = start // PRIM_BLOCK, (start + count) // PRIM_BLOCK
+    if not need_exit:
+        # only refraction consumes the exit hit; opaque scenes compile
+        # without the whole second sweep
+        t_exit, i_exit = t_best, i_best
+    else:
+        t_exit = jnp.full(shape, -_BIG, jnp.float32)
+        i_exit = jnp.zeros(shape, jnp.int32)
+        for kind, (start, count) in enumerate(_seg_bounds(kind_counts)):
+            if count == 0:
+                continue
+            b0, b1 = start // PRIM_BLOCK, (start + count) // PRIM_BLOCK
 
-        def body2(b, carry, kind=kind):
-            t_exit, i_exit = carry
-            _, t1, ok, ids = block_t(kind, b)
-            gids = gid[pl.ds(b * PRIM_BLOCK, PRIM_BLOCK), 0:1] + 0 * ids
-            okg = ok & (gids == g_best)
-            tm = jnp.where(okg, t1, -_BIG)
-            bm = jnp.max(tm, axis=0, keepdims=True)
-            cand_i = jnp.min(jnp.where(tm == bm, ids, jnp.int32(2**30)),
-                             axis=0, keepdims=True)
-            upd = bm > t_exit
-            t_exit = jnp.where(upd, bm, t_exit)
-            i_exit = jnp.where(upd, cand_i, i_exit)
-            return t_exit, i_exit
+            def body2(b, carry, kind=kind):
+                t_exit, i_exit = carry
+                _, t1, ok, ids = block_t(kind, b)
+                gids = gid[pl.ds(b * PRIM_BLOCK, PRIM_BLOCK), 0:1] + 0 * ids
+                okg = ok & (gids == g_best)
+                tm = jnp.where(okg, t1, -_BIG)
+                bm = jnp.max(tm, axis=0, keepdims=True)
+                cand_i = jnp.min(jnp.where(tm == bm, ids, jnp.int32(2**30)),
+                                 axis=0, keepdims=True)
+                upd = bm > t_exit
+                t_exit = jnp.where(upd, bm, t_exit)
+                i_exit = jnp.where(upd, cand_i, i_exit)
+                return t_exit, i_exit
 
-        t_exit, i_exit = jax.lax.fori_loop(b0, b1, body2, (t_exit, i_exit))
+            t_exit, i_exit = jax.lax.fori_loop(b0, b1, body2,
+                                               (t_exit, i_exit))
 
     te_o[0] = t_best
     tx_o[0] = t_exit
@@ -196,8 +197,8 @@ def _kernel(kind_counts,
     ix_o[0] = jnp.where(i_exit == 2**30, 0, i_exit)
 
 
-def _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid, valid,
-                orig, dirs, interpret=False):
+def _run_kernel(kind_counts, need_exit, fr, ipos, pa, pb, pc, pr, gid,
+                valid, orig, dirs, interpret=False):
     R = orig.shape[0]
     assert R % RAY_TILE == 0, R
     grid = R // RAY_TILE
@@ -222,7 +223,7 @@ def _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid, valid,
                               memory_space=pltpu.VMEM) for _ in range(5)]
 
     te, tx, hit, ie, ix = pl.pallas_call(
-        partial(_kernel, tuple(kind_counts)),
+        partial(_kernel, tuple(kind_counts), need_exit),
         grid=(grid,),
         in_specs=[full()] * 8 + [ray_spec] * 6,
         out_specs=out_specs,
@@ -239,19 +240,21 @@ def available() -> bool:
             and jax.default_backend() not in ("cpu",))
 
 
-def closest_hit_fast(scene, frames, orig, dirs, interpret=False):
+def closest_hit_fast(scene, frames, orig, dirs, interpret=False,
+                     need_exit=True):
     """Blockwise-Pallas drop-in for ``intersect.closest_hit``."""
     from . import intersect as _intersect
 
+    from . import intersect as _intersect_mod
+
     kind_counts = tuple(scene.kind_counts)
     gid, valid = scene.group_id, scene.prim_valid
-    kind_arr = jnp.concatenate([
-        jnp.full((c,), k, jnp.int32) for k, c in enumerate(kind_counts) if c])
+    kind_arr = _intersect_mod._kind_array(scene)
 
     @jax.custom_vjp
     def core(fr, ipos, pa, pb, pc, pr, o, d):
-        return _run_kernel(kind_counts, fr, ipos, pa, pb, pc, pr, gid,
-                           valid, o, d, interpret=interpret)
+        return _run_kernel(kind_counts, need_exit, fr, ipos, pa, pb, pc, pr,
+                           gid, valid, o, d, interpret=interpret)
 
     def fwd(fr, ipos, pa, pb, pc, pr, o, d):
         out = core(fr, ipos, pa, pb, pc, pr, o, d)

@@ -11,17 +11,14 @@ expectation only: both sides are box-downsampled to wash out sampling noise
 before comparison. Published goldens were rendered at 1024 spp; pass
 --sample to trade time for noise.
 
-Measured status (512 spp): out0 MAE 0.06/255, out2 MAE 2.8/255 — matching.
-out3 sits at MAE ~45 at ANY spp because the published PNG predates the
-current reference defaults: our tracer matches the reference *source*
-exactly (validated pixel-by-pixel against the scalar oracle in
-tests/test_oracle.py), and sweeping ``loss`` brackets the published
-brightness at an effective loss of ~0.065 vs today's 0.15 default
-(rt defaults, /root/reference/src/parser.rs:188-196). out3 is therefore
-excluded from the default pass set and reported informationally.
+Measured status (512 spp): out0 MAE 0.06/255, out2 2.8/255, out3 2.7/255.
+(An earlier out3 MAE of ~45 was a real TPU-only bug — the one-hot
+attribute-fetch matmul ran at default precision, truncating fetched
+geometry to bfloat16 and zeroing box normals; fixed with
+Precision.HIGHEST in intersect.fetch_attrs. CPU tests could not catch it.)
 
 Usage:
-  python tools/golden_check.py [--sample 64] [--scenes out0,out2] [--save DIR]
+  python tools/golden_check.py [--sample 64] [--scenes out0,out2,out3] [--save DIR]
 """
 
 from __future__ import annotations
@@ -112,10 +109,8 @@ def run_golden(name: str, sample: int, save_dir: str | None = None) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sample", type=int, default=64)
-    p.add_argument("--scenes", default="out0,out2",
-                   help="comma-separated golden names (out1 is out0 hi-res; "
-                        "out3's published PNG predates current defaults — "
-                        "see module docstring)")
+    p.add_argument("--scenes", default="out0,out2,out3",
+                   help="comma-separated golden names (out1 is out0 hi-res)")
     p.add_argument("--save", default=None, help="dir to save our renders")
     args = p.parse_args(argv)
 
