@@ -11,7 +11,9 @@ expectation only: both sides are box-downsampled to wash out sampling noise
 before comparison. Published goldens were rendered at 1024 spp; pass
 --sample to trade time for noise.
 
-Measured status (512 spp): out0 MAE 0.06/255, out2 2.8/255, out3 2.7/255.
+Measured status (256 spp, all pass): out0 MAE 0.01/255, out2 4.1/255,
+out3 3.8/255, out4 0.16/255 (residual is sampling noise vs the 1024-spp
+published renders).
 (An earlier out3 MAE of ~45 was a real TPU-only bug — the one-hot
 attribute-fetch matmul ran at default precision, truncating fetched
 geometry to bfloat16 and zeroing box normals; fixed with
