@@ -105,3 +105,28 @@ def test_glass_sphere_matches_oracle():
     cfg.rt.bounce = 4
     _check(cfg, [(32, 32), (32, 48)], s_oracle=300, s_ours=2000,
            atol=0.03, rtol=0.3)
+
+
+def test_rotated_instanced_boxes_match_oracle():
+    """Instance transforms (dir rotation + inst list) through the full path."""
+    cfg = schema.RenderConfig.from_json({
+        "frame": {"res": [64, 64], "cam": {"pos": [0, -2, 0.3]}},
+        "scene": {
+            "renderer": [
+                {"type": "box", "sizes": [0.4, 0.4, 0.4], "pos": [0, 0, 0],
+                 "dir": [0, 0.5, 0.5, 0],
+                 "mat": {"albedo": [0.8, 0.4, 0.2], "rough": 0.6}},
+                {"type": "sphere", "r": 0.25,
+                 "inst": [[[-0.7, 0.3, 0], [0, 0, -1, 0]],
+                          [[0.7, 0.3, 0], [0, 0.7, 0.3, 0]]],
+                 "mat": {"metal": 1.0}},
+                {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+                 "mat": {"rough": 1.0}},
+            ],
+            "light": [{"type": "dir", "dir": [0.3, 0.5, -1], "pwr": 0.7}],
+            "sky": {"color": [0.15, 0.18, 0.25], "pwr": 0.5},
+        },
+    })
+    cfg.rt.bounce = 3
+    _check(cfg, [(32, 40), (32, 20), (10, 40)], s_oracle=250, s_ours=1500,
+           atol=0.03, rtol=0.3)
