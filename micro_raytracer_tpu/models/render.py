@@ -27,11 +27,16 @@ from .tracer import trace_radiance
 
 
 def _pick_chunk(n_pix: int, n_prims: int, n_lights: int) -> int:
-    """Ray-chunk size keeping the (R*L, P) shadow sweep within a memory budget."""
-    budget = 1 << 22  # elements in the largest (R*L, P, 3) intermediate
+    """Ray-chunk size keeping the (R*L, P) shadow sweep within a memory budget.
+
+    Large chunks matter: per-call dispatch overhead dominates on remote
+    runtimes (block_until_ready can even be a no-op on experimental PJRT
+    plugins, so calls pipeline), and fewer, bigger calls amortize it.
+    """
+    budget = 1 << 24  # elements in the largest (R*L, P, 3) intermediate
     per_ray = max(1, n_prims) * max(1, n_lights) * 3
     c = budget // per_ray
-    c = max(1024, min(1 << 17, c))
+    c = max(1024, min(1 << 18, c))
     c = (c // 1024) * 1024
     return min(c, max(1024, -(-n_pix // 1024) * 1024))
 
@@ -113,6 +118,10 @@ class Renderer:
                 self.scene, self.cam, self.render_wh, self.config.rt.bounce,
                 n_samples, self._loss, self._coords[c], k, self._accum[c])
         jax.block_until_ready(self._accum[-1])
+        # NOTE: on some experimental PJRT plugins block_until_ready is a
+        # no-op; the returned duration is then dispatch time and passes
+        # pipeline on-device (totals stay honest at the next sync, e.g.
+        # img()).
         self.count += n_samples
         return time.perf_counter() - t0
 
