@@ -36,7 +36,7 @@ def _pick_chunk(n_pix: int, n_prims: int, n_lights: int) -> int:
     budget = 1 << 24  # elements in the largest (R*L, P, 3) intermediate
     per_ray = max(1, n_prims) * max(1, n_lights) * 3
     c = budget // per_ray
-    c = max(1024, min(1 << 18, c))
+    c = max(1024, min(1 << 17, c))  # 2^17 measured fastest per ray
     c = (c // 1024) * 1024
     return min(c, max(1024, -(-n_pix // 1024) * 1024))
 
