@@ -126,6 +126,62 @@ class Obj:
             return None
         return t
 
+    def uv(self, M, ipos, p):
+        """Texture coordinates at world point p (rt.rs:468-548)."""
+        hp = ipos + M @ (p - ipos)
+        if self.kind == "sphere":
+            v = norm(hp - ipos)
+            return (0.5 + 0.5 * np.arctan2(v[0], -v[1]) / np.pi,
+                    0.5 - 0.5 * v[2])
+        if self.kind == "plane":
+            fx = (hp[0] + 0.5) - np.trunc(hp[0] + 0.5)
+            fy = (hp[1] + 0.5) - np.trunc(hp[1] + 0.5)
+            return (fx + 1.0 if fx < 0 else fx, fy + 1.0 if fy < 0 else fy)
+        if self.kind == "box":
+            sz = np.asarray(self.geom["sizes"], np.float64)
+            q = (hp - ipos) * (2.0 / sz)
+            if abs(q[0] - 1) < E:
+                return ((0.5 + 0.5 * q[1]) / 4 + 2 / 4, (0.5 - 0.5 * q[2]) / 3 + 1 / 3)
+            if abs(q[0] + 1) < E:
+                return ((0.5 - 0.5 * q[1]) / 4, (0.5 - 0.5 * q[2]) / 3 + 1 / 3)
+            if abs(q[1] - 1) < E:
+                return ((0.5 - 0.5 * q[0]) / 4 + 3 / 4, (0.5 - 0.5 * q[2]) / 3 + 1 / 3)
+            if abs(q[1] + 1) < E:
+                return ((0.5 + 0.5 * q[0]) / 4 + 1 / 4, (0.5 - 0.5 * q[2]) / 3 + 1 / 3)
+            if abs(q[2] - 1) < E:
+                return ((0.5 + 0.5 * q[0]) / 4 + 1 / 4, (0.5 - 0.5 * q[1]) / 3)
+            if abs(q[2] + 1) < E:
+                return ((0.5 + 0.5 * q[0]) / 4 + 1 / 4, (0.5 + 0.5 * q[1]) / 3 + 2 / 3)
+            return (0.0, 0.0)
+        return (0.0, 0.0)  # triangles/meshes: todo!() in the reference
+
+    @staticmethod
+    def _texel(tex, u, v):
+        h, w = tex.shape[:2]
+        x = min(max(int(u * w), 0), w - 1)
+        y = min(max(int(v * h), 0), h - 1)
+        return np.asarray(tex[y, x], np.float64)
+
+    def eval_mat(self, M, ipos, p):
+        """Map-modulated material values at world point p (rt.rs:811-863)."""
+        m = self.mat
+        out = {"color": np.asarray(m.albedo, np.float64),
+               "rough": float(m.rough), "metal": float(m.metal),
+               "glass": float(m.glass), "opacity": float(m.opacity),
+               "emit": float(m.emit)}
+        maps = [m.tex, m.rmap, m.mmap, m.gmap, m.omap, m.emap]
+        if not any(mp is not None for mp in maps):
+            return out
+        u, v = self.uv(M, ipos, p)
+        if m.tex is not None:
+            out["color"] = out["color"] * self._texel(m.tex, u, v)
+        for mp, key in ((m.rmap, "rough"), (m.mmap, "metal"),
+                        (m.gmap, "glass"), (m.omap, "opacity"),
+                        (m.emap, "emit")):
+            if mp is not None:
+                out[key] = float(self._texel(mp, u, v)[0])
+        return out
+
     def normal(self, M, ipos, p, tri_idx=None):
         hp = ipos + M @ (p - ipos)
         if self.kind == "sphere":
@@ -247,6 +303,8 @@ class Oracle:
             n0 = obj.normal(M, ipos, p0, i0)
             n1 = obj.normal(M, ipos, p1, i1)
             mat = obj.mat
+            mat0 = obj.eval_mat(M, ipos, p0)
+            mat1 = obj.eval_mat(M, ipos, p1)
 
             # shadow rays
             ok_lights = []
@@ -259,25 +317,27 @@ class Oracle:
                 if self.closest_hit(ray_o, norm(l)) is None:
                     ok_lights.append(light)
 
-            # next ray: reflect from entry, maybe refract from exit
-            rough = float(mat.rough)
-            if mat.metal == 0.0 and mat.opacity != 0.0 and self.rng.random() < 0.8:
+            # next ray: reflect from entry, maybe refract from exit.
+            # NB: the dielectric gate reads the RAW mat.metal scalar but the
+            # mapped opacity (RayHit::get_opacity), per rt.rs:563-566.
+            rough = mat0["rough"]
+            if mat.metal == 0.0 and mat0["opacity"] != 0.0 and self.rng.random() < 0.8:
                 rough = 1.0
             nr = self.rand_dir(n0, rough)
             nd = norm(reflect3(d, nr))
-            use_p, use_n = p0, n0
-            if self.rng.random() < min(1.0 - float(mat.opacity), 0.85):
-                rough2 = float(mat.rough)
-                if mat.metal == 0.0 and mat.opacity != 0.0 and self.rng.random() < 0.8:
+            use_p, use_n, use_mat = p0, n0, mat0
+            if self.rng.random() < min(1.0 - mat0["opacity"], 0.85):
+                rough2 = mat1["rough"]
+                if mat.metal == 0.0 and mat1["opacity"] != 0.0 and self.rng.random() < 0.8:
                     rough2 = 1.0
                 nf = self.rand_dir(n1, rough2)
-                eta = 1.0 + 0.5 * float(mat.glass)
+                eta = 1.0 + 0.5 * mat1["glass"]
                 rr = refract3(d, eta, nf)
                 if rr is not None:
                     nd = norm(rr)
-                    use_p, use_n = p1, n1
+                    use_p, use_n, use_mat = p1, n1, mat1
 
-            path.append((use_p, use_n, mat, pwr, d.copy(), ok_lights))
+            path.append((use_p, use_n, use_mat, pwr, d.copy(), ok_lights))
             o = use_p + nd * E
             d = nd
             pwr *= (1.0 - min(rt.loss, 1.0))
@@ -287,9 +347,9 @@ class Oracle:
         if not path:
             return self.sky_color.copy()
         col = self.sky_color * self.sky_pwr
-        for (p0, n0, mat, pwr, din, ok_lights) in reversed(path):
-            albedo = np.asarray(mat.albedo, np.float64)
-            if self.rng.random() < float(mat.emit):
+        for (p0, n0, emat, pwr, din, ok_lights) in reversed(path):
+            albedo = emat["color"]
+            if self.rng.random() < emat["emit"]:
                 col = albedo.copy()
                 continue
             l_col = np.zeros(3)
@@ -301,8 +361,8 @@ class Oracle:
                 ln = norm(l)
                 diff = max(float(ln @ n0), 0.0)
                 spec = max(float(din @ reflect3(ln, n0)), 0.0) ** 32 \
-                    * (1.0 - float(mat.rough))
-                o_col = albedo * (1.0 - float(mat.metal))
+                    * (1.0 - emat["rough"])
+                o_col = albedo * (1.0 - emat["metal"])
                 l_col = l_col + (o_col * diff * np.asarray(light.color, np.float64)
                                  + spec) * float(light.pwr)
             d_col = 0.5 * col + albedo * col

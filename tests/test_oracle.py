@@ -130,3 +130,28 @@ def test_rotated_instanced_boxes_match_oracle():
     cfg.rt.bounce = 3
     _check(cfg, [(32, 40), (32, 20), (10, 40)], s_oracle=250, s_ours=1500,
            atol=0.03, rtol=0.3)
+
+
+def test_textured_materials_match_oracle():
+    """Texture + roughness/emission maps through the full tracer vs oracle."""
+    # a 2x2 checker texture and a horizontal-gradient emission map
+    checker = {"w": 2, "h": 2, "dat": [[1, 1, 1], [0.2, 0.2, 0.2],
+                                       [0.2, 0.2, 0.2], [1, 1, 1]]}
+    emap = {"w": 4, "h": 1, "dat": [[0, 0, 0], [0.3, 0.3, 0.3],
+                                    [0.6, 0.6, 0.6], [1, 1, 1]]}
+    cfg = schema.RenderConfig.from_json({
+        "frame": {"res": [64, 64]},
+        "scene": {
+            "renderer": [
+                {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+                 "mat": {"tex": checker, "rough": 1.0}},
+                {"type": "sphere", "r": 0.4, "pos": [0, 0.5, 0],
+                 "mat": {"albedo": [0.9, 0.6, 0.3], "emap": emap}},
+            ],
+            "light": [{"type": "point", "pos": [-0.5, -1, 0.8], "pwr": 0.6}],
+            "sky": {"color": [0.1, 0.12, 0.2], "pwr": 0.5},
+        },
+    })
+    cfg.rt.bounce = 3
+    _check(cfg, [(32, 50), (32, 28), (20, 30)], s_oracle=250, s_ours=1500,
+           atol=0.03, rtol=0.3)
