@@ -243,3 +243,41 @@ def test_http_render(http_server):
 def test_http_validation(http_server, raw, code):
     res = _req(http_server, raw)
     assert code in res.split(b"\r\n")[0]
+
+
+def test_miniargs_fuzz_never_crashes():
+    """Random token streams either parse or raise TokenError — nothing else."""
+    import random
+
+    rng = random.Random(0)
+    vocab = ["sph", "box", "pln", "tri", "mesh", "r:", "size:", "n:", "vtx:",
+             "pos:", "dir:", "albedo:", "rough:", "tex:", "name:", "#ff00zz",
+             "#00ff00", "0.5", "-1", "abc", "pt:", "col:", "pwr:", "1e9",
+             "nan", ""]
+    for _ in range(300):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        for parse in (miniargs.parse_objects, miniargs.parse_lights,
+                      miniargs.parse_camera, miniargs.parse_sky):
+            try:
+                parse(toks)
+            except (miniargs.TokenError, ValueError):
+                pass  # the only acceptable failure modes
+
+
+def test_http_concurrent_requests_serialize(http_server):
+    """Two simultaneous renders both succeed (render lock serializes)."""
+    import concurrent.futures
+
+    body = json.dumps({
+        "rt": {"sample": 1, "bounce": 1},
+        "frame": {"res": [16, 12]},
+        "scene": {"renderer": [{"type": "sphere", "r": 0.5}],
+                  "light": [{"type": "point", "pos": [-0.5, -1, 0.5]}]},
+    }).encode()
+    raw = (b"POST / HTTP/1.1\r\nContent-Type: application/json\r\n"
+           + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(_req, http_server, raw) for _ in range(2)]
+        results = [f.result(timeout=180) for f in futs]
+    for res in results:
+        assert res.startswith(b"HTTP/1.1 200 OK"), res[:60]
