@@ -55,6 +55,37 @@ def _sample_chunk_many(scene, cam, render_wh, bounce, n_samples, loss,
     return jax.lax.fori_loop(0, n_samples, body, accum)
 
 
+def _make_sp_chunk_fn(mesh, render_wh, bounce, n_samples):
+    """Sharded chunk sampler: rays over ``dp``, samples over ``sp``.
+
+    Samples become an explicit vmapped axis sharded over ``sp`` (GSPMD, not
+    shard_map): partitioning then preserves the *global* counter-based RNG
+    semantics, so every sample uses exactly the draws the single-device
+    fori_loop would use (fold_in(key, i)) and the merged accumulator matches
+    it up to summation order. The cross-sp sum is XLA's collective — the
+    reference's tile-merge mutex (sampler.rs:39-74) as an all-reduce.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sp = mesh.shape["sp"]
+    q = -(-n_samples // sp)
+    rad_sh = NamedSharding(mesh, P("sp", "dp"))
+
+    def fn(scene, cam, loss, coords, key, accum):
+        def body(j, acc):
+            idx = j * sp + jnp.arange(sp)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+            rad = jax.vmap(lambda k: trace_radiance(
+                scene, cam, render_wh, bounce, loss, coords, k))(keys)
+            rad = jax.lax.with_sharding_constraint(rad, rad_sh)
+            w = (idx < n_samples).astype(acc.dtype)[:, None, None]
+            return acc + jnp.sum(rad * w, axis=0)
+
+        return jax.lax.fori_loop(0, q, body, accum)
+
+    return jax.jit(fn, donate_argnums=(5,))
+
+
 class Renderer:
     """Progressive renderer over a compiled scene.
 
@@ -103,6 +134,9 @@ class Renderer:
 
         self.key = make_key(seed)
         self._loss = jnp.float32(config.rt.loss)
+        # sample-parallel sharded samplers, one per fused n_samples
+        self._sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+        self._sp_fns: dict = {}
 
     # -- sampling ----------------------------------------------------------
     def execute(self) -> float:
@@ -112,30 +146,52 @@ class Renderer:
     def execute_many(self, n_samples: int) -> float:
         t0 = time.perf_counter()
         base = jax.random.fold_in(self.key, self.count)
-        for c in range(self.n_chunks):
-            k = jax.random.fold_in(base, c)
-            self._accum[c] = _sample_chunk_many(
-                self.scene, self.cam, self.render_wh, self.config.rt.bounce,
-                n_samples, self._loss, self._coords[c], k, self._accum[c])
+        if self._sp > 1:
+            if n_samples not in self._sp_fns:
+                self._sp_fns[n_samples] = _make_sp_chunk_fn(
+                    self.mesh, self.render_wh, self.config.rt.bounce,
+                    n_samples)
+            fn = self._sp_fns[n_samples]
+            for c in range(self.n_chunks):
+                k = jax.random.fold_in(base, c)
+                self._accum[c] = fn(self.scene, self.cam, self._loss,
+                                    self._coords[c], k, self._accum[c])
+        else:
+            for c in range(self.n_chunks):
+                k = jax.random.fold_in(base, c)
+                self._accum[c] = _sample_chunk_many(
+                    self.scene, self.cam, self.render_wh,
+                    self.config.rt.bounce, n_samples, self._loss,
+                    self._coords[c], k, self._accum[c])
         jax.block_until_ready(self._accum[-1])
-        # NOTE: on some experimental PJRT plugins block_until_ready is a
-        # no-op; the returned duration is then dispatch time and passes
-        # pipeline on-device (totals stay honest at the next sync, e.g.
-        # img()).
+        # block_until_ready is a no-op on some experimental PJRT plugins; a
+        # one-scalar device->host transfer forces a real sync so the returned
+        # duration (and any rays/s derived from it) measures device time, not
+        # dispatch pipelining.
+        np.asarray(jax.device_get(self._accum[-1][0, 0]))
         self.count += n_samples
         return time.perf_counter() - t0
 
     # -- image -------------------------------------------------------------
-    def framebuffer(self) -> np.ndarray:
-        """Running radiance sum as (nh, nw, 3) float32."""
+    def _device_frame(self):
+        """Running radiance sum as a device-resident (nh, nw, 3) array."""
         flat = jnp.concatenate(self._accum, axis=0)[: self.n_pix]
         nw, nh = self.render_wh
-        return np.asarray(flat).reshape(nh, nw, 3)
+        return flat.reshape(nh, nw, 3)
+
+    def framebuffer(self) -> np.ndarray:
+        """Running radiance sum as (nh, nw, 3) float32 (host copy)."""
+        return np.asarray(self._device_frame())
 
     def img(self) -> np.ndarray:
-        """Tonemapped, SSAA-downsampled (h, w, 3) uint8 image (sampler.rs:80-99)."""
-        fb = jnp.asarray(self.framebuffer())
-        out = tonemap.finalize(fb, jnp.float32(max(self.count, 1)),
+        """Tonemapped, SSAA-downsampled (h, w, 3) uint8 image (sampler.rs:80-99).
+
+        Tonemapping runs on device straight from the accumulators — only the
+        final u8 image crosses to the host (one transfer per ``--update``
+        pass, not a framebuffer round-trip).
+        """
+        out = tonemap.finalize(self._device_frame(),
+                               jnp.float32(max(self.count, 1)),
                                self.cam.gamma, self.cam.exp, self.config.frame.res)
         return np.asarray(out)
 
@@ -144,10 +200,25 @@ class Renderer:
         """Persist progressive render state (framebuffer, count, rng key)."""
         np.savez(path, accum=np.asarray(jnp.concatenate(self._accum, 0)),
                  count=self.count, key=np.asarray(jax.random.key_data(self.key)),
-                 key_impl=str(jax.random.key_impl(self.key)))
+                 key_impl=str(jax.random.key_impl(self.key)),
+                 render_wh=np.asarray(self.render_wh), chunk=self.chunk)
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
+        saved_wh = tuple(int(v) for v in data["render_wh"]) \
+            if "render_wh" in data else None
+        if saved_wh is not None and saved_wh != tuple(self.render_wh):
+            raise ValueError(
+                f"saved state was rendered at {saved_wh}, current render "
+                f"resolution is {tuple(self.render_wh)} — resume with the "
+                "same --res/--ssaa settings")
+        want = self.n_chunks * self.chunk
+        if data["accum"].shape[0] != want:
+            raise ValueError(
+                f"saved state holds {data['accum'].shape[0]} accumulator rows "
+                f"but the current render settings need {want} "
+                f"({self.n_chunks} chunks x {self.chunk}) — state was saved "
+                "with different render/chunk settings")
         accum = jnp.asarray(data["accum"]).reshape(self.n_chunks, self.chunk, 3)
         self._accum = [accum[i] for i in range(self.n_chunks)]
         if self.mesh is not None:  # restore device-mesh sharding

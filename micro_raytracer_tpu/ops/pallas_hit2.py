@@ -150,7 +150,10 @@ def _kernel(kind_counts, need_exit,
             cand_i = jnp.min(jnp.where(tm == bm, ids, jnp.int32(2**30)),
                              axis=0, keepdims=True)
             gids = gid[pl.ds(b * PRIM_BLOCK, PRIM_BLOCK), 0:1] + 0 * ids
-            cand_g = jnp.min(jnp.where(tm == bm, gids, jnp.int32(2**30)),
+            # the group must come from the SAME row as cand_i: on an exact
+            # entry-t tie an independent min-over-ties could pair the winner
+            # with another tied prim's group
+            cand_g = jnp.min(jnp.where(ids == cand_i, gids, jnp.int32(2**30)),
                              axis=0, keepdims=True)
             upd = bm < t_best
             t_best = jnp.where(upd, bm, t_best)

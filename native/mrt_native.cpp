@@ -124,13 +124,21 @@ static void send_status(int fd, const char* line) {
 }
 
 static void handle_conn(int fd, mrt_render_cb cb) {
+  // Drain until the header block terminator arrives (it may span several TCP
+  // segments), bounded by the reference's 1 MB request buffer (http.rs:66).
+  // The Python fallback transport (frontends/http.py) does the same.
   std::string buf;
-  buf.resize(1 << 20);  // the reference's 1 MB request buffer (http.rs:66)
-  ssize_t n = recv(fd, &buf[0], buf.size(), 0);
-  if (n <= 0) { close(fd); return; }
-  buf.resize((size_t)n);
-
-  size_t hdr_end = buf.find("\r\n\r\n");
+  size_t hdr_end = std::string::npos;
+  while (buf.size() < (1u << 20)) {
+    char tmp[1 << 16];
+    ssize_t n = recv(fd, tmp, sizeof tmp, 0);
+    if (n <= 0) break;
+    size_t scan_from = buf.size() > 3 ? buf.size() - 3 : 0;
+    buf.append(tmp, (size_t)n);
+    hdr_end = buf.find("\r\n\r\n", scan_from);
+    if (hdr_end != std::string::npos) break;
+  }
+  if (buf.empty()) { close(fd); return; }
   if (hdr_end == std::string::npos) {
     send_status(fd, "HTTP/1.1 400 Bad Request\r\n"); close(fd); return;
   }

@@ -111,8 +111,8 @@ def run_golden(name: str, sample: int, save_dir: str | None = None) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sample", type=int, default=64)
-    p.add_argument("--scenes", default="out0,out2,out3",
-                   help="comma-separated golden names (out1 is out0 hi-res)")
+    p.add_argument("--scenes", default="out0,out1,out2,out3,out4",
+                   help="comma-separated golden names")
     p.add_argument("--save", default=None, help="dir to save our renders")
     args = p.parse_args(argv)
 
