@@ -173,3 +173,83 @@ def test_gradients_match_fd_other_params(field, eps):
     delta.flat[0] = eps
     fd = (float(f(p0 + delta)) - float(f(p0 - delta))) / (2 * eps)
     np.testing.assert_allclose(g.flat[0], fd, rtol=5e-2, atol=1e-4)
+
+
+@pytest.mark.parametrize("glass", [False, True])
+def test_fused_matches_record_path(glass):
+    """trace_fused (forward affine fold) == trace_records+shade_records.
+
+    Same RNG draws, so all stochastic choices are identical; values agree up
+    to float reassociation of the radiance fold.
+    """
+    mat = {"glass": 0.08, "opacity": 0.0} if glass else {"rough": 0.6}
+    scene, cam = make({
+        "renderer": [
+            {"type": "sphere", "r": 0.4, "mat": mat},
+            {"type": "box", "sizes": [0.3, 0.3, 0.3], "pos": [0.5, 0.4, 0],
+             "dir": [0, 0.5, 0.5, 0], "mat": {"emit": 0.4}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+             "mat": {"rough": 1.0}},
+        ],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.5}],
+        "sky": {"color": [0.2, 0.25, 0.35], "pwr": 0.5},
+    })
+    xs, ys = np.meshgrid(np.arange(8, 56, 4), np.arange(8, 56, 4))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    for seed in (0, 1):
+        key = jax.random.PRNGKey(seed)
+        a = np.asarray(trace_radiance(scene, cam, (64, 64), 6,
+                                      jnp.float32(0.15), coords, key,
+                                      fused=True))
+        b = np.asarray(trace_radiance(scene, cam, (64, 64), 6,
+                                      jnp.float32(0.15), coords, key,
+                                      fused=False))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("field", ["inst_pos", "inst_dir", "light_pos"])
+def test_gradients_match_fd_transforms(field):
+    """Geometry/transform gradients (through the hit distance t) vs central
+    differences at a fixed key.
+
+    The detached-control estimator keeps branch *choices* (hit masks, face
+    selection, stochastic picks) constant under an infinitesimal parameter
+    shift, so AD gradients of one fixed-key sample must match FD as long as
+    the eps window flips no branch; components are checked where the AD
+    gradient is largest (well inside a smooth region).
+    """
+    import dataclasses
+
+    scene, cam = make({
+        "renderer": [
+            {"type": "box", "sizes": [0.5, 0.5, 0.5],
+             "dir": [0, 0.4, 0.6, 0.1],
+             "mat": {"rough": 0.8, "albedo": [0.7, 0.5, 0.3]}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+             "mat": {"rough": 1.0}},
+        ],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.5}],
+        "sky": {"color": [0.2, 0.2, 0.3], "pwr": 0.4},
+    })
+    coords = jnp.asarray([[32.0, 32.0], [28.0, 36.0]], jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    def f(v):
+        s = dataclasses.replace(scene, **{field: v})
+        return jnp.sum(trace_radiance(s, cam, (64, 64), 2, jnp.float32(0.15),
+                                      coords, key))
+
+    p0 = getattr(scene, field)
+    g = np.asarray(jax.grad(f)(p0))
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 1e-4, f"no gradient signal through {field}"
+
+    eps = 1e-3
+    order = np.argsort(-np.abs(g).ravel())[:3]
+    for flat_idx in order:
+        delta = np.zeros_like(g)
+        delta.flat[flat_idx] = eps
+        fd = (float(f(p0 + delta)) - float(f(p0 - delta))) / (2 * eps)
+        np.testing.assert_allclose(
+            g.flat[flat_idx], fd, rtol=8e-2, atol=5e-4,
+            err_msg=f"{field}[{flat_idx}] AD vs FD")
