@@ -48,6 +48,83 @@ def build_frames(scene: SceneArrays):
     return linalg.instance_mat(scene.inst_dir)  # (P,3,3)
 
 
+def _use_tri_mxu(count: int) -> bool:
+    """Whether the triangle segment uses the MXU (Woop-transform) sweep.
+
+    Default: on for triangle-heavy scenes, where the Moller-Trumbore VPU
+    sweep is HBM-bound on its (R, Pt, 3) intermediates. ``MRT_TRI_MXU=0/1``
+    forces either path (tests use this to compare them).
+    """
+    import os
+
+    env = os.environ.get("MRT_TRI_MXU", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return count >= 64
+
+
+def triangle_pack(scene: SceneArrays, frames):
+    """Per-triangle unit-space ("Woop") transforms for the MXU sweep.
+
+    For triangle (v0, v1, v2) with edges e0, e1 and raw normal n = e0 x e1,
+    the matrix ``W = [e0 e1 n]^-1`` maps any point q to barycentric
+    coordinates: ``W @ (q - v0') = (u, v, w)``. Rows of W have the closed
+    form ``[(e1 x n), (n x e0), n] / (n . n)``. Composing with the instance
+    transform (rays are tested in object space, rt.rs:729-732) gives ray-
+    independent per-triangle constants
+
+        G = W @ M,   h = -G @ ipos - W @ v0,   o' = G o + h,   d' = G d
+
+    so the whole (R, Pt) triangle sweep becomes six ``(R,3) @ (3,Pt)``
+    matmuls (MXU) plus elementwise tests — identical t/u/v to
+    Moller-Trumbore (rt.rs:361-398) in exact arithmetic. The |det| >= E
+    validity window maps to ``|d'_z| >= E / (n . n)`` since
+    ``det = -d_obj . n = -d'_z (n . n)``.
+
+    Returns (G, h, thr, nondegenerate) over the triangle segment;
+    differentiable w.r.t. vertices and instance parameters.
+    """
+    s = scene.seg(schema.KIND_TRIANGLE)
+    a, b, c = scene.prim_a[s], scene.prim_b[s], scene.prim_c[s]
+    pos = scene.inst_pos[s]
+    M = frames[s]                                   # (Pt,3,3)
+    e0, e1 = b - a, c - a
+    n = linalg.cross(e0, e1)                        # (Pt,3)
+    nn = linalg.dot(n, n)
+    ok = nn > 0.0                                   # degenerate/padded rows
+    nn_s = jnp.where(ok, nn, 1.0)[..., None]
+    W = jnp.stack([linalg.cross(e1, n) / nn_s,
+                   linalg.cross(n, e0) / nn_s,
+                   n / nn_s], axis=-2)              # (Pt,3,3)
+    G = linalg.matmul3(W, M)
+    h = -linalg.matvec(G, pos) - linalg.matvec(W, a)
+    thr = EPS / nn_s[..., 0]
+    return G, h, thr, ok
+
+
+def _tri_sweep_mxu(pack, valid, orig, dirs):
+    """(R, Pt) triangle hit sweep via the precomputed Woop transforms."""
+    G, h, thr, okg = pack
+    Pt = G.shape[0]
+    Gf = G.reshape(Pt * 3, 3)
+    # (R,3) @ (3, 3Pt): geometry matmuls MUST run at highest precision —
+    # the TPU default truncates inputs to bf16 (see fetch_attrs).
+    dn = (((1,), (1,)), ((), ()))
+    O = jax.lax.dot_general(orig, Gf, dn, precision=jax.lax.Precision.HIGHEST)
+    D = jax.lax.dot_general(dirs, Gf, dn, precision=jax.lax.Precision.HIGHEST)
+    O = O.reshape(-1, Pt, 3) + h[None]
+    D = D.reshape(-1, Pt, 3)
+    oz, dz = O[..., 2], D[..., 2]
+    ok = jnp.abs(dz) >= thr[None]                   # |det| >= E (rt.rs:371-373)
+    dz_s = jnp.where(ok, dz, 1.0)
+    t = -oz / dz_s
+    u = O[..., 0] + t * D[..., 0]
+    v = O[..., 1] + t * D[..., 1]
+    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    ok &= okg[None] & valid[None]
+    return t, ok
+
+
 def _kind_array(scene: SceneArrays):
     """Static (P,) int32 of kind codes derived from segment counts."""
     parts = [jnp.full((c,), k, dtype=jnp.int32)
@@ -57,7 +134,7 @@ def _kind_array(scene: SceneArrays):
     return jnp.concatenate(parts)
 
 
-def intersect_all(scene: SceneArrays, frames, orig, dirs):
+def intersect_all(scene: SceneArrays, frames, orig, dirs, tri_pack=None):
     """Intersect a ray batch against every primitive row.
 
     Args:
@@ -65,6 +142,9 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
       frames: ``(P,3,3)`` from :func:`build_frames`.
       orig: ``(R,3)`` ray origins (already E-offset by the caster).
       dirs: ``(R,3)`` ray directions.
+      tri_pack: optional precomputed :func:`triangle_pack` (hoisted out of
+        the bounce scan by the tracer); computed on the fly when the MXU
+        triangle sweep is active and none is given.
     Returns:
       ``(t_entry, t_exit, valid)`` each ``(R, P)``.
     """
@@ -77,6 +157,16 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
     t0_parts, t1_parts, ok_parts = [], [], []
     for kind, count in enumerate(scene.kind_counts):
         if count == 0:
+            continue
+        if kind == schema.KIND_TRIANGLE and _use_tri_mxu(count):
+            if tri_pack is None:
+                tri_pack = triangle_pack(scene, frames)
+            t0, ok = _tri_sweep_mxu(
+                tri_pack, scene.prim_valid[scene.seg(kind)], orig, dirs)
+            ok = ok & jnp.isfinite(t0)
+            t0_parts.append(t0)
+            t1_parts.append(t0)
+            ok_parts.append(ok)
             continue
         s = scene.seg(kind)
         pos = scene.inst_pos[s][None]
@@ -150,9 +240,9 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs):
     return t_entry, t_exit, valid
 
 
-def any_hit(scene: SceneArrays, frames, orig, dirs):
+def any_hit(scene: SceneArrays, frames, orig, dirs, tri_pack=None):
     """Occlusion query: does the ray hit anything at all? (rt.rs:1036-1038)"""
-    _, _, valid = intersect_all(scene, frames, orig, dirs)
+    _, _, valid = intersect_all(scene, frames, orig, dirs, tri_pack=tri_pack)
     return jnp.any(valid, axis=-1)
 
 
@@ -301,7 +391,7 @@ def fetch_attrs(attrs, idx, n_prims: int) -> AttrView:
 
 
 def closest_hit(scene: SceneArrays, frames, orig, dirs,
-                need_exit: bool = True) -> HitInfo:
+                need_exit: bool = True, tri_pack=None) -> HitInfo:
     """Masked argmin over entry t + group-max for the exit hit.
 
     The winner is the (object, instance) pair with the smallest entry ``t``
@@ -309,7 +399,8 @@ def closest_hit(scene: SceneArrays, frames, orig, dirs,
     the same group (one prim for sphere/plane/box/triangle; all triangles of
     the mesh instance otherwise — rt.rs:758-771).
     """
-    t_entry, t_exit, valid = intersect_all(scene, frames, orig, dirs)
+    t_entry, t_exit, valid = intersect_all(scene, frames, orig, dirs,
+                                           tri_pack=tri_pack)
     hit = jnp.any(valid, axis=-1)
     masked_entry = jnp.where(valid, t_entry, _BIG)
     win = jnp.argmin(masked_entry, axis=-1).astype(jnp.int32)

@@ -174,3 +174,47 @@ def test_fetch_attrs_matches_gather_path():
     uv_new = intersect.uv_from_attrs(at, pt)
     uv_old = intersect.uv_at(s, frames, kinds, hit.idx_entry, pt)
     np.testing.assert_allclose(np.asarray(uv_new), np.asarray(uv_old), atol=1e-5)
+
+
+def test_tri_mxu_matches_moller_trumbore(monkeypatch):
+    """The Woop-transform MXU triangle sweep == the Moller-Trumbore sweep.
+
+    Same hits, same t (up to float rounding), on a random rotated/translated
+    mesh instance plus an interleaved sphere segment.
+    """
+    import jax
+
+    rng_np = np.random.default_rng(0)
+    tris = rng_np.uniform(-1, 1, (40, 3, 3)).astype(np.float32)
+    s = scene_of([
+        {"type": "mesh", "mesh": tris.tolist(), "dir": [0, 0.4, 0.6, 0.2],
+         "pos": [0.2, -0.1, 0.3]},
+        {"type": "sphere", "r": 0.3},
+    ])
+    frames = intersect.build_frames(s)
+    o = jnp.asarray(rng_np.uniform(-2, 2, (256, 3)), jnp.float32)
+    d = rng_np.normal(size=(256, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    monkeypatch.setenv("MRT_TRI_MXU", "0")
+    t0a, t1a, oka = (np.asarray(x) for x in
+                     intersect.intersect_all(s, frames, o, d))
+    monkeypatch.setenv("MRT_TRI_MXU", "1")
+    t0b, t1b, okb = (np.asarray(x) for x in
+                     intersect.intersect_all(s, frames, o, d))
+
+    np.testing.assert_array_equal(oka, okb)
+    both = oka & okb
+    np.testing.assert_allclose(np.where(both, t0a, 0.0),
+                               np.where(both, t0b, 0.0), rtol=2e-4, atol=2e-5)
+
+    # gradients flow through the MXU path's per-triangle constants
+    def f(pos):
+        import dataclasses
+        s2 = dataclasses.replace(s, inst_pos=pos)
+        fr = intersect.build_frames(s2)
+        te, _, ok = intersect.intersect_all(s2, fr, o, d)
+        return jnp.sum(jnp.where(ok, te, 0.0))
+
+    g = np.asarray(jax.grad(f)(s.inst_pos))
+    assert np.all(np.isfinite(g)) and np.abs(g).sum() > 0
