@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Add light source to the scene (key: value tokens)")
     p.add_argument("--sky", nargs="+", metavar="param",
                    help="Scene sky color: r g b pwr")
+    p.add_argument("--devices", type=int,
+                   help="Render across N accelerator devices via a "
+                        "jax.sharding mesh (TPU extension; the reference's "
+                        "--worker thread pool, reborn as dp x sp sharding)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Sample-parallel axis size within --devices "
+                        "(devices = dp * sp)")
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed (TPU extension; reference uses thread_rng)")
     p.add_argument("--resume", metavar="FILE.npz",
@@ -150,7 +157,13 @@ def raytrace(args, cfg: schema.RenderConfig) -> float:
     chunk = None
     if args.dim:
         chunk = max(1024, args.dim * args.dim)
-    r = Renderer(cfg, seed=args.seed, chunk=chunk)
+    mesh = None
+    if args.devices:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, sp=args.sp or 1)
+        log.info("cli:mesh: %s", dict(mesh.shape))
+    r = Renderer(cfg, seed=args.seed, chunk=chunk, mesh=mesh)
     if args.resume:
         r.load_state(args.resume)
     filename = args.output or "out.png"
@@ -194,7 +207,8 @@ def main(argv=None) -> int:
             logging.getLogger().setLevel(logging.INFO)
             from .http import HttpServer
 
-            HttpServer(args.http).start()  # blocks forever
+            HttpServer(args.http, devices=args.devices,
+                       sp=args.sp or 1).start()  # blocks forever
             return 0
 
         cfg = parse_render(args)

@@ -34,11 +34,12 @@ log = logging.getLogger("raytrace")
 _MAX_HEADER = 1 << 20
 
 
-def render_jpeg(body: bytes, peer: str = "?") -> bytes:
+def render_jpeg(body: bytes, peer: str = "?", mesh=None) -> bytes:
     """Parse a render JSON body and return the rendered JPEG (q90) bytes.
 
     The core of ``HttpServer::raytrace`` (http.rs:136-148); shared by the
-    Python and native transports.
+    Python and native transports. ``mesh``: optional device mesh — requests
+    then render sharded across it (the CLI's --devices, server-wide).
     """
     from PIL import Image
 
@@ -46,7 +47,7 @@ def render_jpeg(body: bytes, peer: str = "?") -> bytes:
 
     cfg = schema.RenderConfig.from_json(json.loads(body.decode("utf-8")))
     log.info("http:render[%s]: %s", peer, json.dumps(cfg.to_json()))
-    r = Renderer(cfg)
+    r = Renderer(cfg, mesh=mesh)
     sample = 0
     while sample < cfg.rt.sample:
         n = min(16, cfg.rt.sample - sample)
@@ -76,11 +77,17 @@ def _parse_request(raw: bytes):
 class HttpServer:
     """Blocking accept-loop server (http.rs:150-163)."""
 
-    def __init__(self, addr: str):
+    def __init__(self, addr: str, devices: int | None = None, sp: int = 1):
         host, _, port = addr.rpartition(":")
         self.host = host or "0.0.0.0"
         self.port = int(port)
         self._render_lock = threading.Lock()
+        self.mesh = None
+        if devices:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(devices, sp=sp)
+            log.info("http:mesh: %s", dict(self.mesh.shape))
 
     # -- per-connection handler (http.rs:61-134) --------------------------
     def handle(self, conn: socket.socket, peer) -> None:
@@ -134,7 +141,7 @@ class HttpServer:
 
             t0 = time.perf_counter()
             with self._render_lock:
-                jpg = render_jpeg(body, peer=str(peer))
+                jpg = render_jpeg(body, peer=str(peer), mesh=self.mesh)
             log.info("http:done[%s]: %.3fs", peer, time.perf_counter() - t0)
 
             head = (f"HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n"
@@ -159,7 +166,7 @@ class HttpServer:
 
             def render_locked(body: bytes) -> bytes:
                 with self._render_lock:
-                    return render_jpeg(body, peer="native")
+                    return render_jpeg(body, peer="native", mesh=self.mesh)
 
             rc = native.http_serve(self.host, self.port, render_locked)
             if rc != 0:

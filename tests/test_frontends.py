@@ -281,3 +281,17 @@ def test_http_concurrent_requests_serialize(http_server):
         results = [f.result(timeout=180) for f in futs]
     for res in results:
         assert res.startswith(b"HTTP/1.1 200 OK"), res[:60]
+
+
+def test_cli_devices_flag_renders_identical(tmp_path):
+    """--devices N (virtual 8-CPU mesh, sp=1) must be byte-identical to the
+    single-device render (cli.rs:157's --worker surface, reborn)."""
+    from micro_raytracer_tpu.frontends import cli
+
+    args = ["--obj", "sphere", "--light", "point:", "-0.5", "-1", "0.5",
+            "--res", "64", "48", "--sample", "2", "--bounce", "2"]
+    out1 = tmp_path / "single.png"
+    out2 = tmp_path / "mesh.png"
+    assert cli.main(args + ["-o", str(out1)]) == 0
+    assert cli.main(args + ["-o", str(out2), "--devices", "8"]) == 0
+    assert out1.read_bytes() == out2.read_bytes()
