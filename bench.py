@@ -1,21 +1,25 @@
-"""Benchmark: CornellBox 1080x1080 rays/s/chip, forward and forward+backward.
+"""Benchmark: rays/s/chip across the reference example configs.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
+   "fwd_rays_per_s": N, "configs": {...}, "roofline_pct": N, ...}
 
-"rays" counts primary paths (pixel-samples), matching the reference's unit
-of work (one path per pixel per sample, /root/reference/src/sampler.rs:28-78);
-each path additionally carries ``bounce+1`` closest-hit sweeps plus per-light
-shadow sweeps.
+The headline value stays CornellBox 1080x1080 forward+backward rays/s per
+chip ("rays" = primary paths, one per pixel-sample, matching the reference's
+unit of work — /root/reference/src/sampler.rs:28-78; each path carries
+bounce+1 closest-hit sweeps plus per-light shadow sweeps). ``configs``
+reports forward throughput for every BASELINE.json config
+(Default/dof/CornellBox/CornellBox2/Mesh) so scene-class cliffs are visible
+to the driver, and ``roofline_pct`` is measured time vs the HBM
+speed-of-light time from XLA's own cost analysis of the compiled step.
 
 Measures the *production* dispatch shape: SAMPLES_PER_CALL paths per pixel
 fused into one device call via ``fori_loop`` (the Renderer's execute_many
-path), so per-dispatch host/tunnel latency is amortized exactly as in real
-renders.
+path) with the production RNG (``rng.make_key``), min-of-repeats to shed
+the remote tunnel's dispatch variance.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is against an
-estimated 2e6 paths/s for the Rust renderer on its default 24-thread pool
-(~80k paths/s/thread scalar path tracing), recorded in BASELINE.md.
+estimated 2e6 paths/s for the Rust renderer on its default 24-thread pool.
 """
 
 import json
@@ -29,95 +33,129 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_S = 2.0e6  # estimated Rust reference, 24 CPU threads
-CHUNK = 1 << 17
 SAMPLES_PER_CALL = 16
+HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
+
+EXAMPLES = "/root/reference/example"
+CONFIGS = ["Default", "dof", "CornellBox", "CornellBox2", "Mesh"]
+
+
+def _load(name):
+    from micro_raytracer_tpu.models import schema
+
+    with open(f"{EXAMPLES}/{name}.json") as f:
+        cfg = schema.RenderConfig.from_json(json.load(f))
+    if name == "CornellBox":
+        cfg.frame.res = (1080, 1080)
+        cfg.frame.ssaa = 1.0
+    return cfg
+
+
+def _coords(chunk, render_wh):
+    # center the chunk in the frame: edge rows can be all-sky (black) in
+    # some scenes, which would make the benched work unrepresentative
+    nw, nh = render_wh
+    start = max(0, (nw * nh - chunk) // 2)
+    ys, xs = np.divmod(np.arange(start, start + chunk, dtype=np.int64), nw)
+    return jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+
+
+def _time_best(fn, *args, repeats=5):
+    jax.block_until_ready(fn(*args))  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        # ONE-SCALAR fetch forces a real sync even where block_until_ready
+        # is a no-op (experimental PJRT plugins). Slice on device first — a
+        # full-leaf device_get would time the tunnel's transfer bandwidth,
+        # not the device.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
-    from micro_raytracer_tpu.models import schema
     from micro_raytracer_tpu.models.compiler import compile_camera, compile_scene
+    from micro_raytracer_tpu.models.render import _pick_chunk
     from micro_raytracer_tpu.models.tracer import trace_radiance
+    from micro_raytracer_tpu.ops import rng
     from micro_raytracer_tpu.parallel import shard
     from micro_raytracer_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    key = rng.make_key(0)
+    per_config = {}
+    headline = {}
 
-    path = "/root/reference/example/CornellBox.json"
-    with open(path) as f:
-        cfg = schema.RenderConfig.from_json(json.load(f))
-    cfg.frame.res = (1080, 1080)
-    cfg.frame.ssaa = 1.0
+    for name in CONFIGS:
+        cfg = _load(name)
+        scene = compile_scene(cfg.scene)
+        cam = compile_camera(cfg.frame.cam)
+        render_wh = cfg.frame.render_res
+        bounce = cfg.rt.bounce
+        loss = jnp.float32(cfg.rt.loss)
+        chunk = _pick_chunk(render_wh[0] * render_wh[1], scene)
+        coords = _coords(chunk, render_wh)
 
-    scene = compile_scene(cfg.scene)
-    cam = compile_camera(cfg.frame.cam)
-    render_wh = cfg.frame.render_res
-    bounce = cfg.rt.bounce
-    loss = jnp.float32(cfg.rt.loss)
-    key = jax.random.PRNGKey(0)
-
-    ys, xs = np.divmod(np.arange(CHUNK, dtype=np.int64), render_wh[0])
-    coords = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
-
-    # ---- forward throughput (fused multi-sample accumulation) ----
-    @jax.jit
-    def fwd(scene, coords, key):
-        def body(i, acc):
-            rad = trace_radiance(scene, cam, render_wh, bounce, loss, coords,
-                                 jax.random.fold_in(key, i))
-            return acc + rad
-
-        return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body,
-                                 jnp.zeros((CHUNK, 3), jnp.float32))
-
-    fwd(scene, coords, key).block_until_ready()  # compile
-    # The remote-tunnel dispatch overhead is large and highly variable, so
-    # take the best of several timed calls: it approximates true device
-    # throughput the way a local runtime would see it.
-    times = []
-    for i in range(6):
-        t0 = time.perf_counter()
-        fwd(scene, coords, jax.random.fold_in(key, i)).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    fwd_s = min(times)
-    fwd_rays = CHUNK * SAMPLES_PER_CALL / fwd_s
-
-    # ---- forward+backward throughput (grads w.r.t. scene params) ----
-    params, _ = shard.split_params(scene)
-
-    @jax.jit
-    def fwdbwd(params, coords, key):
-        def loss_fn(p):
-            s = shard.merge_params(scene, p)
-
+        def fwd(scene, coords, key, _wh=render_wh, _b=bounce, _l=loss,
+                _cam=cam, _chunk=chunk):
             def body(i, acc):
-                # remat measured 33% slower than saving residuals and the
-                # residuals fit at this chunk size (BASELINE.md)
-                rad = trace_radiance(s, cam, render_wh, bounce, loss, coords,
+                rad = trace_radiance(scene, _cam, _wh, _b, _l, coords,
                                      jax.random.fold_in(key, i))
-                return acc + jnp.mean(rad ** 2)
+                return acc + rad
 
-            return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body, 0.0)
+            return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body,
+                                     jnp.zeros((_chunk, 3), jnp.float32))
 
-        return jax.grad(loss_fn)(params)
+        fwd_j = jax.jit(fwd)
+        fwd_s = _time_best(fwd_j, scene, coords, key)
+        rays = chunk * SAMPLES_PER_CALL / fwd_s
+        per_config[name] = {"fwd_rays_per_s": round(rays, 1), "chunk": chunk,
+                            "bounce": bounce, "n_prims": scene.n_prims}
 
-    jax.block_until_ready(fwdbwd(params, coords, key))
-    times = []
-    for i in range(6):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fwdbwd(params, coords, jax.random.fold_in(key, i)))
-        times.append(time.perf_counter() - t0)
-    bwd_s = min(times)
-    fwdbwd_rays = CHUNK * SAMPLES_PER_CALL / bwd_s
+        if name == "CornellBox":
+            # speed-of-light: HBM bytes the compiled step says it moves
+            try:
+                cost = fwd_j.lower(scene, coords, key).compile().cost_analysis()
+                ba = float(cost.get("bytes accessed", 0.0))
+                sol_s = ba / (HBM_GBPS * 1e9)
+                headline["roofline_pct"] = round(100.0 * sol_s / fwd_s, 1)
+            except Exception:
+                headline["roofline_pct"] = None
+            headline["fwd_rays_per_s"] = round(rays, 1)
 
-    value = fwdbwd_rays
+            # forward+backward: grads w.r.t. every trainable scene leaf
+            params, _ = shard.split_params(scene)
+
+            def fwdbwd(params, coords, key):
+                def loss_fn(p):
+                    s = shard.merge_params(scene, p)
+
+                    def body(i, acc):
+                        rad = trace_radiance(s, cam, render_wh, bounce, loss,
+                                             coords, jax.random.fold_in(key, i))
+                        return acc + jnp.mean(rad ** 2)
+
+                    return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body, 0.0)
+
+                return jax.grad(loss_fn)(params)
+
+            bwd_s = _time_best(jax.jit(fwdbwd), params, coords, key)
+            headline["fwdbwd_rays_per_s"] = round(
+                chunk * SAMPLES_PER_CALL / bwd_s, 1)
+
+    value = headline["fwdbwd_rays_per_s"]
     print(json.dumps({
         "metric": "cornellbox_1080_rays_per_s_per_chip_fwdbwd",
-        "value": round(value, 1),
+        "value": value,
         "unit": "rays/s",
         "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
-        "fwd_rays_per_s": round(fwd_rays, 1),
+        "fwd_rays_per_s": headline["fwd_rays_per_s"],
+        "roofline_pct": headline["roofline_pct"],
+        "configs": per_config,
         "samples_per_call": SAMPLES_PER_CALL,
-        "chunk": CHUNK,
         "device": str(jax.devices()[0]),
     }))
 

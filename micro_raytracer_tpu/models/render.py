@@ -26,15 +26,30 @@ from .schema import RenderConfig
 from .tracer import trace_radiance
 
 
-def _pick_chunk(n_pix: int, n_prims: int, n_lights: int) -> int:
-    """Ray-chunk size keeping the (R*L, P) shadow sweep within a memory budget.
+def _pick_chunk(n_pix: int, scene) -> int:
+    """Ray-chunk size keeping the per-sweep intermediates within a budget.
 
     Large chunks matter: per-call dispatch overhead dominates on remote
     runtimes (block_until_ready can even be a no-op on experimental PJRT
-    plugins, so calls pipeline), and fewer, bigger calls amortize it.
+    plugins, so calls pipeline), and fewer, bigger calls amortize it. The
+    dominant intermediate depends on the triangle path: the Pallas
+    reduction keeps (R, Pt) entirely in VMEM (only the small non-triangle
+    dense sweep counts), the MXU sweep materializes six (R*L, Pt) matmul
+    outputs, and the Moller-Trumbore sweep (R*L, P, 3) tensors.
     """
-    budget = 1 << 24  # elements in the largest (R*L, P, 3) intermediate
-    per_ray = max(1, n_prims) * max(1, n_lights) * 3
+    from ..models import schema as _schema
+    from ..ops import intersect as _intersect
+    from ..ops import pallas_tri
+
+    L = max(1, scene.n_lights)
+    P = max(1, scene.n_prims)
+    n_tri = scene.kind_counts[_schema.KIND_TRIANGLE]
+    if pallas_tri.enabled_for(scene):
+        budget, per_ray = 1 << 24, max(1, P - n_tri) * L * 3
+    elif _intersect._use_tri_mxu(n_tri):
+        budget, per_ray = 1 << 27, P * L * 6
+    else:
+        budget, per_ray = 1 << 24, P * L * 3
     c = budget // per_ray
     c = max(1024, min(1 << 17, c))  # 2^17 measured fastest per ray
     c = (c // 1024) * 1024
@@ -109,8 +124,7 @@ class Renderer:
         self.render_wh = config.frame.render_res
         nw, nh = self.render_wh
         self.n_pix = nw * nh
-        self.chunk = chunk or _pick_chunk(self.n_pix, self.scene.n_prims,
-                                          self.scene.n_lights)
+        self.chunk = chunk or _pick_chunk(self.n_pix, self.scene)
         self.mesh = mesh
         if mesh is not None:
             dp = mesh.shape["dp"]

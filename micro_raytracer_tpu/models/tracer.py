@@ -40,7 +40,14 @@ def _use_pallas(scene) -> bool:
 
 
 def _closest_hit(scene, frames, o, d, tri_pack=None):
-    """Opt-in Pallas fused kernel on TPU, dense jnp sweep by default."""
+    """Pallas triangle reduction for mesh-heavy scenes (default on TPU),
+    opt-in legacy Pallas kernel, dense jnp sweep otherwise."""
+    from ..ops import pallas_tri
+
+    if pallas_tri.enabled_for(scene):
+        return intersect.closest_hit_tri_pallas(scene, frames, o, d,
+                                                need_exit=scene.any_refract,
+                                                tri_pack=tri_pack)
     if _use_pallas(scene):
         return pallas_hit.closest_hit_fast(scene, frames, o, d,
                                            need_exit=scene.any_refract)

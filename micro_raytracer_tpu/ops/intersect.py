@@ -134,7 +134,8 @@ def _kind_array(scene: SceneArrays):
     return jnp.concatenate(parts)
 
 
-def intersect_all(scene: SceneArrays, frames, orig, dirs, tri_pack=None):
+def intersect_all(scene: SceneArrays, frames, orig, dirs, tri_pack=None,
+                  kinds=None):
     """Intersect a ray batch against every primitive row.
 
     Args:
@@ -145,18 +146,15 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs, tri_pack=None):
       tri_pack: optional precomputed :func:`triangle_pack` (hoisted out of
         the bounce scan by the tracer); computed on the fly when the MXU
         triangle sweep is active and none is given.
+      kinds: optional kind subset to sweep (columns of skipped kinds are
+        omitted from the result; used by the split Pallas path).
     Returns:
       ``(t_entry, t_exit, valid)`` each ``(R, P)``.
     """
-    P = scene.n_prims
     R = orig.shape[0]
-    if P == 0:
-        z = jnp.zeros((R, 0), orig.dtype)
-        return z, z, jnp.zeros((R, 0), bool)
-
     t0_parts, t1_parts, ok_parts = [], [], []
     for kind, count in enumerate(scene.kind_counts):
-        if count == 0:
+        if count == 0 or (kinds is not None and kind not in kinds):
             continue
         if kind == schema.KIND_TRIANGLE and _use_tri_mxu(count):
             if tri_pack is None:
@@ -234,14 +232,32 @@ def intersect_all(scene: SceneArrays, frames, orig, dirs, tri_pack=None):
         t1_parts.append(t1)
         ok_parts.append(ok)
 
+    if not t0_parts:
+        z = jnp.zeros((R, 0), orig.dtype)
+        return z, z, jnp.zeros((R, 0), bool)
     t_entry = jnp.concatenate(t0_parts, axis=1)
     t_exit = jnp.concatenate(t1_parts, axis=1)
     valid = jnp.concatenate(ok_parts, axis=1)
     return t_entry, t_exit, valid
 
 
+_NONTRI_KINDS = (schema.KIND_SPHERE, schema.KIND_PLANE, schema.KIND_BOX)
+
+
 def any_hit(scene: SceneArrays, frames, orig, dirs, tri_pack=None):
     """Occlusion query: does the ray hit anything at all? (rt.rs:1036-1038)"""
+    from . import pallas_tri
+
+    if pallas_tri.enabled_for(scene):
+        if tri_pack is None:
+            tri_pack = triangle_pack(scene, frames)
+        s = scene.seg(schema.KIND_TRIANGLE)
+        A9, H, thr = pallas_tri.pack_consts(tri_pack, scene.prim_valid[s])
+        te_t, _ = pallas_tri.tri_entry(A9, H, thr, orig, dirs)
+        hit_t = te_t < _BIG * 0.5
+        _, _, ok = intersect_all(scene, frames, orig, dirs,
+                                 kinds=_NONTRI_KINDS)
+        return jax.lax.stop_gradient(jnp.any(ok, axis=-1) | hit_t)
     _, _, valid = intersect_all(scene, frames, orig, dirs, tri_pack=tri_pack)
     return jnp.any(valid, axis=-1)
 
@@ -420,6 +436,65 @@ def closest_hit(scene: SceneArrays, frames, orig, dirs,
     idx_exit = jnp.argmax(masked_exit, axis=-1).astype(jnp.int32)
     tx = jnp.max(masked_exit, axis=-1)
     return HitInfo(hit=hit, t_entry=te, t_exit=tx, idx_entry=win, idx_exit=idx_exit)
+
+
+def closest_hit_tri_pallas(scene: SceneArrays, frames, orig, dirs,
+                           need_exit: bool = True, tri_pack=None) -> HitInfo:
+    """closest_hit with the triangle segment reduced inside a Pallas kernel.
+
+    Non-triangle kinds (always few rows) keep the dense sweep; the triangle
+    segment — the only one that grows with scene size — is reduced to one
+    (t, row) pair per ray in VMEM (:mod:`pallas_tri`), so nothing
+    (R, Pt)-shaped ever reaches HBM. Combining preserves the dense path's
+    tie-breaks exactly: triangles are the last kind segment, so a strict
+    ``<`` against the non-triangle minimum reproduces first-occurrence
+    argmin, and likewise for the group-exit argmax.
+    """
+    from . import pallas_tri
+
+    if tri_pack is None:
+        tri_pack = triangle_pack(scene, frames)
+    s = scene.seg(schema.KIND_TRIANGLE)
+    start = s.start
+    A9, H, thr = pallas_tri.pack_consts(tri_pack, scene.prim_valid[s])
+    te_t, row_t = pallas_tri.tri_entry(A9, H, thr, orig, dirs)
+    hit_t = te_t < _BIG * 0.5
+
+    t0, t1, ok = intersect_all(scene, frames, orig, dirs, kinds=_NONTRI_KINDS)
+    P_nt = t0.shape[1]
+    if P_nt:
+        masked = jnp.where(ok, t0, _BIG)
+        win_nt = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+        te_nt = jnp.min(masked, axis=-1)
+        hit_nt = jnp.any(ok, axis=-1)
+    else:
+        te_nt = jnp.full_like(te_t, _BIG)
+        win_nt = jnp.zeros_like(row_t)
+        hit_nt = jnp.zeros_like(hit_t)
+    use_t = te_t < te_nt
+    win = jnp.where(use_t, start + row_t, win_nt)
+    te = jnp.minimum(te_t, te_nt)
+    hit = hit_nt | hit_t
+    if not need_exit:
+        return HitInfo(hit=hit, t_entry=te, t_exit=te,
+                       idx_entry=win, idx_exit=win)
+
+    win_group = scene.group_id[win]
+    if P_nt:
+        same = ok & (scene.group_id[None, :P_nt] == win_group[:, None])
+        masked_x = jnp.where(same, t1, -_BIG)
+        ix_nt = jnp.argmax(masked_x, axis=-1).astype(jnp.int32)
+        tx_nt = jnp.max(masked_x, axis=-1)
+    else:
+        tx_nt = jnp.full_like(te_t, -_BIG)
+        ix_nt = jnp.zeros_like(row_t)
+    gid_t = scene.group_id[s].astype(orig.dtype)[None]
+    tx_t, xrow_t = pallas_tri.tri_group_exit(
+        A9, H, thr, gid_t, orig, dirs, win_group.astype(orig.dtype))
+    use_tx = tx_t > tx_nt
+    tx = jnp.maximum(tx_t, tx_nt)
+    ix = jnp.where(use_tx, start + xrow_t, ix_nt)
+    return HitInfo(hit=hit, t_entry=te, t_exit=tx, idx_entry=win, idx_exit=ix)
 
 
 def normal_from_attrs(at: AttrView, point):
