@@ -54,7 +54,8 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
         "light_is_dir", "light_pos", "light_dir", "light_pwr", "light_color",
         "sky_color", "sky_pwr",
     ],
-    meta_fields=["kind_counts", "n_lights", "has_maps", "any_refract"],
+    meta_fields=["kind_counts", "n_lights", "has_maps", "any_refract",
+                 "map_slots"],
 )
 @dataclass
 class SceneArrays:
@@ -105,6 +106,10 @@ class SceneArrays:
     # opacity/glass map). Static: opaque scenes compile without the whole
     # exit-hit path (fetch, normal, refraction) in the tracer.
     any_refract: bool = True
+    # per-map-slot presence (tex/rmap/mmap/gmap/omap/emap): absent slots
+    # compile without their per-ray texture gather (most scenes use 1-2
+    # of the 6 slots; each gather is a slow TPU DMA in the bounce loop)
+    map_slots: tuple = (True,) * 6
 
     @property
     def n_prims(self) -> int:
@@ -333,6 +338,8 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
         sky_color=j(scene.sky.color), sky_pwr=j(scene.sky.pwr),
         kind_counts=tuple(kind_counts), n_lights=L,
         has_maps=bool(textures),
+        map_slots=tuple(
+            bool(np.any(mat_maps_np[:, slot] >= 0)) for slot in range(6)),
         any_refract=any(
             o.mat.opacity != 1.0 or o.mat.glass != 0.0
             or o.mat.omap is not None or o.mat.gmap is not None

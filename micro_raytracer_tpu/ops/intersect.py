@@ -393,13 +393,29 @@ def prim_attributes(scene: SceneArrays, frames):
     return jnp.concatenate(cols, axis=1)
 
 
-def fetch_attrs(attrs, idx, n_prims: int) -> AttrView:
-    """Fetch rows of ``attrs`` at ``idx`` via a one-hot MXU matmul.
+_FETCH_GATHER_MIN = 256
 
-    Precision MUST be highest: the TPU default truncates matmul inputs to
-    bfloat16, which destroys the fetched geometry (the box-normal face test
-    compares against an EPS=1e-4 window that bf16 cannot represent).
+
+def fetch_attrs(attrs, idx, n_prims: int) -> AttrView:
+    """Fetch rows of ``attrs`` at ``idx``.
+
+    Small tables use a one-hot MXU matmul (a row gather per ray measured
+    ~5x slower than the MXU at P=16); large tables use one K-wide row
+    gather — the one-hot materializes an (R, P) f32 matrix whose HBM
+    traffic grows with scene size while the gather's stays R*K
+    (``MRT_FETCH_GATHER`` forces either path).
+
+    Matmul precision MUST be highest: the TPU default truncates matmul
+    inputs to bfloat16, which destroys the fetched geometry (the
+    box-normal face test compares against an EPS=1e-4 window that bf16
+    cannot represent).
     """
+    import os
+
+    env = os.environ.get("MRT_FETCH_GATHER", "")
+    gather = n_prims >= _FETCH_GATHER_MIN if env == "" else env == "1"
+    if gather:
+        return AttrView(jnp.take(attrs, idx, axis=0))
     onehot = jax.nn.one_hot(idx, n_prims, dtype=attrs.dtype)      # (R, P)
     fetched = jax.lax.dot(jax.lax.stop_gradient(onehot), attrs,
                           precision=jax.lax.Precision.HIGHEST)
@@ -457,7 +473,15 @@ def closest_hit_tri_pallas(scene: SceneArrays, frames, orig, dirs,
     s = scene.seg(schema.KIND_TRIANGLE)
     start = s.start
     A9, H, thr = pallas_tri.pack_consts(tri_pack, scene.prim_valid[s])
-    te_t, row_t = pallas_tri.tri_entry(A9, H, thr, orig, dirs)
+    gid_t = scene.group_id[s].astype(orig.dtype)[:, None]
+    # fused kernel shares the expensive (t, ok) sweep between the entry
+    # reduction and the local-group exit when the scratch fits VMEM
+    fused_exit = need_exit and pallas_tri.fused_exit_ok(scene)
+    if fused_exit:
+        te_t, row_t, tx_tl, xrow_tl = pallas_tri.tri_entry_exit(
+            A9, H, thr, gid_t, orig, dirs)
+    else:
+        te_t, row_t = pallas_tri.tri_entry(A9, H, thr, orig, dirs)
     hit_t = te_t < _BIG * 0.5
 
     t0, t1, ok = intersect_all(scene, frames, orig, dirs, kinds=_NONTRI_KINDS)
@@ -488,9 +512,14 @@ def closest_hit_tri_pallas(scene: SceneArrays, frames, orig, dirs,
     else:
         tx_nt = jnp.full_like(te_t, -_BIG)
         ix_nt = jnp.zeros_like(row_t)
-    gid_t = scene.group_id[s].astype(orig.dtype)[None]
-    tx_t, xrow_t = pallas_tri.tri_group_exit(
-        A9, H, thr, gid_t, orig, dirs, win_group.astype(orig.dtype))
+    if fused_exit:
+        # the fused kernel's exit is for the triangle-local winner's group,
+        # which IS the global winner's group exactly when use_t
+        tx_t = jnp.where(use_t, tx_tl, -_BIG)
+        xrow_t = xrow_tl
+    else:
+        tx_t, xrow_t = pallas_tri.tri_group_exit(
+            A9, H, thr, gid_t, orig, dirs, win_group.astype(orig.dtype))
     use_tx = tx_t > tx_nt
     tx = jnp.maximum(tx_t, tx_nt)
     ix = jnp.where(use_tx, start + xrow_t, ix_nt)
@@ -593,11 +622,14 @@ def material_from_attrs(scene: SceneArrays, at: AttrView, point):
     if not scene.has_maps:
         return out
     uv = uv_from_attrs(at, point)
-    tex_rgb = sample_texture(scene, at.map_id(0), uv)
-    out["color"] = jnp.where((at.map_id(0) >= 0)[..., None],
-                             out["color"] * tex_rgb, out["color"])
+    if scene.map_slots[0]:
+        tex_rgb = sample_texture(scene, at.map_id(0), uv)
+        out["color"] = jnp.where((at.map_id(0) >= 0)[..., None],
+                                 out["color"] * tex_rgb, out["color"])
     for slot, key in ((1, "rough"), (2, "metal"), (3, "glass"),
                       (4, "opacity"), (5, "emit")):
+        if not scene.map_slots[slot]:
+            continue  # statically absent: no gather compiled
         val = sample_texture(scene, at.map_id(slot), uv)[..., 0]
         out[key] = jnp.where(at.map_id(slot) >= 0, val, out[key])
     return out
@@ -741,11 +773,14 @@ def material_at(scene: SceneArrays, frames, kind_arr, idx, point):
         return out
     uv = uv_at(scene, frames, kind_arr, idx, point)
     maps = scene.mat_maps[m]  # (R,6)
-    tex_rgb = sample_texture(scene, maps[..., 0], uv)
-    out["color"] = jnp.where((maps[..., 0] >= 0)[..., None],
-                             out["color"] * tex_rgb, out["color"])
+    if scene.map_slots[0]:
+        tex_rgb = sample_texture(scene, maps[..., 0], uv)
+        out["color"] = jnp.where((maps[..., 0] >= 0)[..., None],
+                                 out["color"] * tex_rgb, out["color"])
     for slot, key in ((1, "rough"), (2, "metal"), (3, "glass"),
                       (4, "opacity"), (5, "emit")):
+        if not scene.map_slots[slot]:
+            continue  # statically absent: no gather compiled
         val = sample_texture(scene, maps[..., slot], uv)[..., 0]
         out[key] = jnp.where(maps[..., slot] >= 0, val, out[key])
     return out
