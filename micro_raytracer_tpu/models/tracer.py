@@ -40,10 +40,15 @@ def _use_pallas(scene) -> bool:
 
 
 def _closest_hit(scene, frames, o, d, tri_pack=None):
-    """Pallas triangle reduction for mesh-heavy scenes (default on TPU),
-    opt-in legacy Pallas kernel, dense jnp sweep otherwise."""
-    from ..ops import pallas_tri
+    """All-kind fused Pallas closest-hit on TPU; triangle-segment Pallas
+    reduction for oversized meshes; opt-in legacy kernels; dense jnp sweep
+    otherwise (CPU/tests)."""
+    from ..ops import pallas_hit3, pallas_tri
 
+    if pallas_hit3.enabled_for(scene):
+        return pallas_hit3.closest_hit(scene, frames, o, d,
+                                       need_exit=scene.any_refract,
+                                       tri_pack=tri_pack)
     if pallas_tri.enabled_for(scene):
         return intersect.closest_hit_tri_pallas(scene, frames, o, d,
                                                 need_exit=scene.any_refract,
@@ -58,6 +63,10 @@ def _closest_hit(scene, frames, o, d, tri_pack=None):
 
 def _any_hit(scene, frames, o, d, tri_pack=None):
     """Occlusion query for shadow rays (boolean, gradient-free)."""
+    from ..ops import pallas_hit3
+
+    if pallas_hit3.enabled_for(scene):
+        return pallas_hit3.any_hit(scene, frames, o, d, tri_pack=tri_pack)
     if _use_pallas(scene):
         return jax.lax.stop_gradient(
             pallas_hit.closest_hit_fast(scene, frames, o, d,

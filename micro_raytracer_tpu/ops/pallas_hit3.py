@@ -1,0 +1,448 @@
+"""All-kind fused Pallas closest-hit (fourth-generation kernel).
+
+:mod:`pallas_tri` moved the triangle segment into VMEM; the profile then
+showed the remaining forward time spread across ~40 small HBM-bound XLA
+fusions — the sphere/plane/box sweeps, their argmin/argmax/any reductions,
+and the glue between them, each materializing (R, Pk)-scale buffers. This
+kernel computes the ENTIRE closest-hit query (rt.rs:867-898) in one
+pallas_call: every kind segment is swept in VMEM (object-space math for
+sphere/plane/box per rt.rs:299-412, the composed Woop transform for
+triangles), the entry winner and its group are reduced inline, and the
+group-exit (rt.rs:740-772) is reduced from a stashed exit-t scratch in a
+second cheap pass. One (t_entry, row, t_exit, xrow) quadruple per ray
+crosses HBM.
+
+Layout: rays on lanes, primitives on sublanes (dense (1, R) outputs; see
+pallas_tri for why the other orientation loses 100x). Non-triangle
+segments are small (the compiler pads them to 8-row multiples) and are
+processed as single whole-segment blocks at their static offsets; the
+triangle segment loops in PRIM_BLOCK chunks.
+
+Differentiation: custom_vjp recomputes the winner's entry/exit t
+analytically per kind — quadratic root for spheres, plane equation,
+active-slab for boxes, the Woop plane form for triangles — selecting the
+formula by the winner row's static segment bounds, with row attributes
+fetched by one-hot MXU matmuls. This reproduces exactly the gradient the
+dense masked-min/max would produce (only the winning row's t carries
+cotangent) without saving any (R, P) residuals.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models import schema
+from .linalg import EPS
+from . import pallas_tri
+from .pallas_tri import (_BIG, _BIGI, PRIM_BLOCK, RAY_TILE, _interpret,
+                         _pad_p, _RAY_SPEC, _OUT_SPEC, _out_shapes)
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS = True
+except Exception:  # pragma: no cover
+    _PALLAS = False
+
+
+def available() -> bool:
+    env = os.environ.get("MRT_HIT3", "")
+    if env == "0" or not _PALLAS:
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# scratch is (P_pad, RAY_TILE) f32
+_MAX_SCRATCH_ROWS = 4096
+
+
+def enabled_for(scene) -> bool:
+    return (available() and scene.n_prims > 0
+            and _padded_rows(scene.kind_counts) <= _MAX_SCRATCH_ROWS)
+
+
+def _padded_rows(kind_counts) -> int:
+    n = sum(kind_counts[:3])
+    n_tri = kind_counts[schema.KIND_TRIANGLE]
+    return n + n_tri + ((-n_tri) % PRIM_BLOCK if n_tri else 0)
+
+
+def _seg_layout(kind_counts):
+    """Static (kind, start, count) of non-tri segments + tri bounds."""
+    segs = []
+    start = 0
+    for kind in (schema.KIND_SPHERE, schema.KIND_PLANE, schema.KIND_BOX):
+        c = kind_counts[kind]
+        if c:
+            segs.append((kind, start, c))
+        start += c
+    return tuple(segs), start, kind_counts[schema.KIND_TRIANGLE]
+
+
+def _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d):
+    """(t0, t1, ok) of the [s:e) rows of a non-triangle segment, (e-s, RT).
+
+    Object-space math identical to intersect.intersect_all's per-kind
+    branches (and thus rt.rs:299-412), as VPU broadcast-FMAs: per-prim
+    scalars are (Pk, 1) sublane columns, per-ray values (1, RT) lane rows.
+    """
+    f = [fr[s:e, k:k + 1] for k in range(9)]
+    ix, iy, iz = (ipos[s:e, k:k + 1] for k in range(3))
+    a0, a1, a2 = (pa[s:e, k:k + 1] for k in range(3))
+    oc = [o[k:k + 1, :] for k in range(3)]
+    dc = [d[k:k + 1, :] for k in range(3)]
+    rx, ry, rz = oc[0] - ix, oc[1] - iy, oc[2] - iz
+    opx = f[0] * rx + f[1] * ry + f[2] * rz + ix
+    opy = f[3] * rx + f[4] * ry + f[5] * rz + iy
+    opz = f[6] * rx + f[7] * ry + f[8] * rz + iz
+    dpx = f[0] * dc[0] + f[1] * dc[1] + f[2] * dc[2]
+    dpy = f[3] * dc[0] + f[4] * dc[1] + f[5] * dc[2]
+    dpz = f[6] * dc[0] + f[7] * dc[1] + f[8] * dc[2]
+
+    if kind == schema.KIND_SPHERE:
+        r_ = pr[s:e, 0:1]
+        ox_, oy_, oz_ = opx - ix, opy - iy, opz - iz
+        a = dpx * dpx + dpy * dpy + dpz * dpz
+        bq = 2.0 * (ox_ * dpx + oy_ * dpy + oz_ * dpz)
+        c = ox_ * ox_ + oy_ * oy_ + oz_ * oz_ - r_ * r_
+        disc = bq * bq - 4.0 * a * c
+        sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
+        a2_ = jnp.where(a == 0.0, 1.0, 2.0 * a)
+        t0 = (-bq - sq) / a2_
+        t1 = (-bq + sq) / a2_
+        ok = (disc >= 0.0) & (t0 >= 0.0)
+    elif kind == schema.KIND_PLANE:
+        nn = a0 * a0 + a1 * a1 + a2 * a2
+        inv = jax.lax.rsqrt(jnp.where(nn > 0.0, nn, 1.0))
+        nx, ny, nz = a0 * inv, a1 * inv, a2 * inv
+        dd = -(nx * ix + ny * iy + nz * iz)
+        dn = dpx * nx + dpy * ny + dpz * nz
+        t0 = -(opx * nx + opy * ny + opz * nz + dd) / jnp.where(
+            dn == 0.0, 1.0, dn)
+        t1 = t0
+        ok = (t0 > 0.0) & (dn != 0.0)
+    else:  # KIND_BOX
+        lo = hi = None
+        for dp_c, op_c, ip_c, s_c in ((dpx, opx, ix, a0), (dpy, opy, iy, a1),
+                                      (dpz, opz, iz, a2)):
+            mm = 1.0 / jnp.where(dp_c == 0.0, 1.0, dp_c)
+            mm = jnp.where(dp_c == 0.0, 1.0 / EPS, mm)
+            nn = (op_c - ip_c) * mm
+            kk = 0.5 * s_c * jnp.abs(mm)
+            lo_c, hi_c = -nn - kk, -nn + kk
+            lo = lo_c if lo is None else jnp.maximum(lo, lo_c)
+            hi = hi_c if hi is None else jnp.minimum(hi, hi_c)
+        t0, t1 = lo, hi
+        ok = ~((t0 > t1) | (t1 < 0.0))
+    ok &= valid[s:e, 0:1] > 0.5
+    ok &= jnp.isfinite(t0) & jnp.isfinite(t1)
+    return t0, t1, ok
+
+
+def _hit_kernel(layout, need_exit,
+                fr, ipos, pa, pr, valid, gid, AT, HT, thr, o_r, d_r,
+                te_o, row_o, tx_o, xrow_o, tx_s):
+    segs, tri_start, n_tri = layout
+    o = o_r[...]
+    d = d_r[...]
+    RT = o.shape[1]
+    shape = (1, RT)
+
+    def entry_step(t0, t1, ok, rows, gidB, carry):
+        t_best, r_best, g_best = carry
+        tm = jnp.where(ok, t0, _BIG)
+        bm = jnp.min(tm, axis=0, keepdims=True)
+        br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0, keepdims=True)
+        bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0, keepdims=True)
+        upd = bm < t_best
+        return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
+                jnp.where(upd, bg, g_best))
+
+    carry = (jnp.full(shape, _BIG, jnp.float32), jnp.zeros(shape, jnp.int32),
+             jnp.full(shape, _BIG, jnp.float32))
+    for kind, s, e_c in segs:
+        e = s + e_c
+        t0, t1, ok = _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e_c, RT), 0) + s
+        if need_exit:
+            tx_s[s:e, :] = jnp.where(ok, t1, -_BIG)
+        carry = entry_step(t0, t1, ok, rows, gid[s:e, :], carry)
+
+    if n_tri:
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (PRIM_BLOCK, RT), 0)
+
+        def tri_body(b, carry):
+            t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b)
+            rows = iota_t + (tri_start + b * PRIM_BLOCK)
+            gidB = gid[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK), :]
+            t_best, r_best, g_best = carry
+            tm = jnp.where(ok, t, _BIG)
+            if need_exit:
+                # triangle exit t == entry t; invalid rows must stash -BIG
+                # (a +BIG would win the exit max)
+                tx_s[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK), :] = \
+                    jnp.where(ok, t, -_BIG)
+            bm = jnp.min(tm, axis=0, keepdims=True)
+            br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
+                         keepdims=True)
+            bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
+                         keepdims=True)
+            upd = bm < t_best
+            return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
+                    jnp.where(upd, bg, g_best))
+
+        n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
+        carry = jax.lax.fori_loop(0, n_blocks, tri_body, carry)
+
+    te, row, wg = carry
+    te_o[...] = te
+    row_o[...] = jnp.where(row == _BIGI, 0, row)
+
+    if not need_exit:
+        tx_o[...] = te
+        xrow_o[...] = jnp.where(row == _BIGI, 0, row)
+        return
+
+    # pass 2: farthest stashed exit-t within the winning group. Stashed
+    # values are -BIG where invalid; for triangles the stash holds the
+    # entry t (== exit t per triangle) masked the same way.
+    tx_best = jnp.full(shape, -_BIG, jnp.float32)
+    x_best = jnp.zeros(shape, jnp.int32)
+
+    def exit_step(s, e_c, carry):
+        tx_best, x_best = carry
+        txm = tx_s[pl.ds(s, e_c), :] if not isinstance(s, int) \
+            else tx_s[s:s + e_c, :]
+        gidB = gid[pl.ds(s, e_c), :] if not isinstance(s, int) \
+            else gid[s:s + e_c, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e_c, RT), 0) + s
+        me = jnp.where(gidB == wg, txm, -_BIG)
+        bm = jnp.max(me, axis=0, keepdims=True)
+        br = jnp.min(jnp.where(me == bm, rows, _BIGI), axis=0, keepdims=True)
+        upd = bm > tx_best
+        return jnp.where(upd, bm, tx_best), jnp.where(upd, br, x_best)
+
+    for kind, s, e_c in segs:
+        tx_best, x_best = exit_step(s, e_c, (tx_best, x_best))
+    if n_tri:
+        n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
+
+        def exit_tri(b, carry):
+            return exit_step(tri_start + b * PRIM_BLOCK, PRIM_BLOCK, carry)
+
+        tx_best, x_best = jax.lax.fori_loop(0, n_blocks, exit_tri,
+                                            (tx_best, x_best))
+
+    tx_o[...] = tx_best
+    xrow_o[...] = jnp.where(x_best == _BIGI, 0, x_best)
+
+
+def pack_scene(scene, frames, tri_pack):
+    """Kernel constant tables from the compiled scene (all differentiable
+    leaves flow: fr <- inst_dir, AT/HT <- vertices+instances)."""
+    P = scene.n_prims
+    fr = frames.reshape(P, 9)
+    valid = scene.prim_valid.astype(jnp.float32)[:, None]
+    gid = scene.group_id.astype(jnp.float32)[:, None]
+    n_tri = scene.kind_counts[schema.KIND_TRIANGLE]
+    if n_tri:
+        s = scene.seg(schema.KIND_TRIANGLE)
+        AT, HT, thr = pallas_tri.pack_consts(tri_pack, scene.prim_valid[s])
+        # group ids of padded tri rows must never match: valid=0 rows keep
+        # thr=BIG, but the exit pass reads gid directly — pad with -3
+        gid_all = jnp.concatenate(
+            [gid[:s.start], _pad_p(gid[s.start:], fill=-3.0)], axis=0)
+    else:
+        # Mosaic rejects zero-row operands; a dummy sublane tile with
+        # thr=BIG is never read (the kernel's tri loop is compiled out)
+        AT = jnp.zeros((8, 9), jnp.float32)
+        HT = jnp.zeros((8, 3), jnp.float32)
+        thr = jnp.full((8, 1), _BIG, jnp.float32)
+        gid_all = gid
+    return (fr, scene.inst_pos, scene.prim_a, scene.prim_r[:, None],
+            valid, gid_all, AT, HT, thr)
+
+
+def _call_hit(layout, consts, o, d, need_exit):
+    fr, ipos, pa, pr, valid, gid, AT, HT, thr = consts
+    AT = _pad_p(AT)
+    HT = _pad_p(HT)
+    thr = _pad_p(thr, fill=_BIG)
+    R = o.shape[0]
+    pad = (-R) % RAY_TILE
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    oT, dT = o.T, d.T
+    Rp = oT.shape[1]
+    scratch_rows = layout[1] + AT.shape[0]
+
+    def cspec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
+
+    kern = partial(_hit_kernel, layout, need_exit)
+    te, row, tx, xrow = pl.pallas_call(
+        kern,
+        grid=(Rp // RAY_TILE,),
+        in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
+                  cspec(gid), cspec(AT), cspec(HT), cspec(thr),
+                  _RAY_SPEC, _RAY_SPEC],
+        out_specs=[_OUT_SPEC] * 4,
+        out_shape=_out_shapes(Rp, 4),
+        scratch_shapes=[pltpu.VMEM((max(scratch_rows, 8), RAY_TILE),
+                                   jnp.float32)],
+        interpret=_interpret(),
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, oT, dT)
+    return te[0, :R], row[0, :R], tx[0, :R], xrow[0, :R]
+
+
+# --- differentiable wrapper ------------------------------------------------
+
+def _winner_t_all(layout, fr, ipos, pa, pr, AT, HT, o, d, row, want_exit):
+    """Recompute the winner row's entry (or exit) t differentiably.
+
+    Row attributes arrive via one one-hot MXU fetch; the per-kind formula
+    is selected by the row's static segment bounds (kind-sorted layout).
+    All guards mirror the forward kernel so misses/invalid stay finite.
+    """
+    segs, tri_start, n_tri = layout
+    P_nt = tri_start
+    hp = jax.lax.Precision.HIGHEST
+    # non-tri attributes (row clamped into the non-tri region; the value is
+    # unused for triangle winners)
+    row_nt = jnp.minimum(row, max(P_nt - 1, 0))
+    oh = jax.nn.one_hot(row_nt, max(P_nt, 1), dtype=o.dtype)
+    fetch = lambda tab: jax.lax.dot(oh, tab[:max(P_nt, 1)], precision=hp)
+    frw = fetch(fr)                                    # (R, 9)
+    ipw = fetch(ipos)
+    paw = fetch(pa)
+    prw = fetch(pr)[:, 0]
+    rel = o - ipw
+    op = jnp.stack([frw[:, 0] * rel[:, 0] + frw[:, 1] * rel[:, 1]
+                    + frw[:, 2] * rel[:, 2] + ipw[:, 0],
+                    frw[:, 3] * rel[:, 0] + frw[:, 4] * rel[:, 1]
+                    + frw[:, 5] * rel[:, 2] + ipw[:, 1],
+                    frw[:, 6] * rel[:, 0] + frw[:, 7] * rel[:, 1]
+                    + frw[:, 8] * rel[:, 2] + ipw[:, 2]], axis=-1)
+    dp = jnp.stack([frw[:, 0] * d[:, 0] + frw[:, 1] * d[:, 1]
+                    + frw[:, 2] * d[:, 2],
+                    frw[:, 3] * d[:, 0] + frw[:, 4] * d[:, 1]
+                    + frw[:, 5] * d[:, 2],
+                    frw[:, 6] * d[:, 0] + frw[:, 7] * d[:, 1]
+                    + frw[:, 8] * d[:, 2]], axis=-1)
+
+    # sphere
+    oc = op - ipw
+    a = jnp.sum(dp * dp, -1)
+    bq = 2.0 * jnp.sum(oc * dp, -1)
+    c = jnp.sum(oc * oc, -1) - prw * prw
+    disc = bq * bq - 4.0 * a * c
+    sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
+    a2 = jnp.where(a == 0.0, 1.0, 2.0 * a)
+    t_sph = ((-bq + sq) / a2) if want_exit else ((-bq - sq) / a2)
+    # plane
+    nn = jnp.sum(paw * paw, -1)
+    inv = jax.lax.rsqrt(jnp.where(nn > 0.0, nn, 1.0))
+    nrm = paw * inv[:, None]
+    dd = -jnp.sum(nrm * ipw, -1)
+    dn = jnp.sum(dp * nrm, -1)
+    t_pln = -(jnp.sum(op * nrm, -1) + dd) / jnp.where(dn == 0.0, 1.0, dn)
+    # box
+    mm = 1.0 / jnp.where(dp == 0.0, 1.0, dp)
+    mm = jnp.where(dp == 0.0, 1.0 / EPS, mm)
+    nb = (op - ipw) * mm
+    kb = 0.5 * paw * jnp.abs(mm)
+    t_box = (jnp.min(-nb + kb, -1)) if want_exit else (jnp.max(-nb - kb, -1))
+    # triangle (Woop plane form over the tri-local row)
+    if n_tri:
+        row_t = jnp.clip(row - tri_start, 0, AT.shape[0] - 1)
+        t_tri = pallas_tri._winner_t(AT, HT, o, d, row_t)
+    else:
+        t_tri = jnp.zeros_like(t_sph)
+
+    bounds = []
+    for kind, s, c in segs:
+        bounds.append((kind, s + c))
+    t = t_tri
+    for kind, end in reversed(bounds):
+        tk = {schema.KIND_SPHERE: t_sph, schema.KIND_PLANE: t_pln,
+              schema.KIND_BOX: t_box}[kind]
+        t = jnp.where(row < end, tk, t)
+    return t
+
+
+def make_closest_hit(layout):
+    """Build the custom-vjp closest-hit for a static scene layout."""
+
+    @partial(jax.custom_vjp, nondiff_argnums=(9,))
+    def hit(fr, ipos, pa, pr, valid, gid, AT, HT, thr, need_exit, o, d):
+        return _call_hit(layout, (fr, ipos, pa, pr, valid, gid, AT, HT, thr),
+                         o, d, need_exit)
+
+    def fwd(fr, ipos, pa, pr, valid, gid, AT, HT, thr, need_exit, o, d):
+        out = _call_hit(layout, (fr, ipos, pa, pr, valid, gid, AT, HT, thr),
+                        o, d, need_exit)
+        te, row, tx, xrow = out
+        res = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, o, d, row, xrow,
+               te < _BIG * 0.5, tx > -_BIG * 0.5)
+        return out, res
+
+    def bwd(need_exit, res, cts):
+        (fr, ipos, pa, pr, valid, gid, AT, HT, thr, o, d, row, xrow,
+         hit_e, hit_x) = res
+        ct_te = jnp.where(hit_e, cts[0], 0.0)
+        ct_tx = jnp.where(hit_x & hit_e, cts[2], 0.0)
+
+        def f(fr, ipos, pa, pr, AT, HT, o, d):
+            te = _winner_t_all(layout, fr, ipos, pa, pr, AT, HT, o, d, row,
+                               want_exit=False)
+            if need_exit:
+                tx = _winner_t_all(layout, fr, ipos, pa, pr, AT, HT, o, d,
+                                   xrow, want_exit=True)
+            else:
+                tx = te
+            return te, tx
+
+        _, vjp = jax.vjp(f, fr, ipos, pa, pr, AT, HT, o, d)
+        gfr, gip, gpa, gpr, gA, gH, go, gd = vjp((ct_te, ct_tx))
+        return (gfr, gip, gpa, gpr, jnp.zeros_like(valid),
+                jnp.zeros_like(gid), gA, gH, jnp.zeros_like(thr), go, gd)
+
+    hit.defvjp(fwd, bwd)
+    return hit
+
+
+_HIT_CACHE: dict = {}
+
+
+def closest_hit(scene, frames, orig, dirs, need_exit=True, tri_pack=None):
+    """HitInfo-compatible closest hit through the all-kind kernel."""
+    from . import intersect
+
+    layout = _seg_layout(scene.kind_counts)
+    if layout not in _HIT_CACHE:
+        _HIT_CACHE[layout] = make_closest_hit(layout)
+    if tri_pack is None and layout[2]:
+        tri_pack = intersect.triangle_pack(scene, frames)
+    consts = pack_scene(scene, frames, tri_pack)
+    te, row, tx, xrow = _HIT_CACHE[layout](*consts, need_exit, orig, dirs)
+    hit = te < _BIG * 0.5
+    return intersect.HitInfo(hit=hit, t_entry=te, t_exit=tx,
+                             idx_entry=row, idx_exit=xrow)
+
+
+def any_hit(scene, frames, orig, dirs, tri_pack=None):
+    """Occlusion query through the kernel (entry only, gradient-free)."""
+    h = closest_hit(scene, frames, jax.lax.stop_gradient(orig),
+                    jax.lax.stop_gradient(dirs), need_exit=False,
+                    tri_pack=tri_pack)
+    return h.hit

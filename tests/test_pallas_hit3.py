@@ -1,0 +1,113 @@
+"""Correctness of the all-kind fused Pallas closest-hit (interpret mode)
+against the dense closest_hit, including the per-kind winner-t VJP."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from micro_raytracer_tpu.models import schema
+from micro_raytracer_tpu.models.compiler import compile_scene
+from micro_raytracer_tpu.ops import intersect, pallas_hit3
+
+
+@pytest.fixture()
+def mixed_scene():
+    rng = np.random.default_rng(2)
+    tris = rng.uniform(-1, 1, (24, 3, 3)).astype(np.float32)
+    return compile_scene(schema.SceneConfig.from_json({
+        "renderer": [
+            {"type": "sphere", "r": 0.4, "pos": [0.3, 0.2, 0]},
+            {"type": "sphere", "r": 0.25, "pos": [-0.5, 0.5, 0.2],
+             "dir": [0, 0.6, 0.4, 0]},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.8]},
+            {"type": "plane", "n": [0.3, -1, 0.1], "pos": [0, 1.5, 0]},
+            {"type": "box", "sizes": [0.3, 0.4, 0.5], "pos": [0.6, 0.8, 0],
+             "dir": [0, 0.5, 0.5, 0.1]},
+            {"type": "mesh", "mesh": tris.tolist(), "pos": [-0.2, 0.9, 0.1],
+             "mat": {"opacity": 0.0, "glass": 0.1}},
+        ],
+    }))
+
+
+def rays(n=512, seed=1):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    return o, d
+
+
+@pytest.mark.parametrize("need_exit", [True, False])
+def test_hit3_matches_dense(mixed_scene, need_exit, monkeypatch):
+    monkeypatch.setenv("MRT_TRI_MXU", "1")
+    monkeypatch.setenv("MRT_HIT3", "1")
+    scene = mixed_scene
+    frames = intersect.build_frames(scene)
+    o, d = rays()
+    ref = intersect.closest_hit(scene, frames, o, d, need_exit=need_exit)
+    got = pallas_hit3.closest_hit(scene, frames, o, d, need_exit=need_exit)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(np.asarray(ref.idx_entry),
+                                  np.asarray(got.idx_entry))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t_entry)[h],
+                               np.asarray(ref.t_entry)[h], rtol=1e-5,
+                               atol=1e-6)
+    if need_exit:
+        np.testing.assert_array_equal(np.asarray(ref.idx_exit),
+                                      np.asarray(got.idx_exit))
+        np.testing.assert_allclose(np.asarray(got.t_exit)[h],
+                                   np.asarray(ref.t_exit)[h], rtol=1e-5,
+                                   atol=1e-6)
+
+    anyref = np.asarray(intersect.any_hit(scene, frames, o, d))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_hit3.any_hit(scene, frames, o, d)), anyref)
+
+
+@pytest.mark.parametrize("field", ["inst_pos", "inst_dir"])
+def test_hit3_gradients_match_dense(mixed_scene, field, monkeypatch):
+    """d sum(t_entry + t_exit over hits) / d transforms: per-kind winner-t
+    VJP == dense autodiff across all four kinds at once."""
+    monkeypatch.setenv("MRT_TRI_MXU", "1")
+    monkeypatch.setenv("MRT_HIT3", "1")
+    scene = mixed_scene
+    o, d = rays(128, seed=5)
+
+    def loss(pos, use_pallas):
+        s = dataclasses.replace(scene, **{field: pos})
+        fr = intersect.build_frames(s)
+        f = pallas_hit3.closest_hit if use_pallas else intersect.closest_hit
+        h = f(s, fr, o, d, need_exit=True)
+        return (jnp.sum(jnp.where(h.hit, h.t_entry, 0.0))
+                + jnp.sum(jnp.where(h.hit, h.t_exit, 0.0)))
+
+    p0 = getattr(scene, field)
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, False))(p0))
+    g_pl = np.asarray(jax.grad(lambda p: loss(p, True))(p0))
+    assert np.all(np.isfinite(g_pl))
+    np.testing.assert_allclose(g_pl, g_ref, rtol=3e-4, atol=2e-5)
+
+
+def test_hit3_tracer_radiance_matches_dense(mixed_scene, monkeypatch):
+    from micro_raytracer_tpu.models.compiler import compile_camera
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(6)
+
+    def run():
+        return np.asarray(trace_radiance(mixed_scene, cam, (64, 64), 3,
+                                         jnp.float32(0.15), coords, key))
+
+    monkeypatch.setenv("MRT_HIT3", "0")
+    monkeypatch.setenv("MRT_TRI_PALLAS", "0")
+    a = run()
+    monkeypatch.setenv("MRT_HIT3", "1")
+    b = run()
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
