@@ -13,7 +13,7 @@ reports forward throughput for every BASELINE.json config
 to the driver, and ``roofline_pct`` is measured time vs the HBM
 speed-of-light time from XLA's own cost analysis of the compiled step.
 
-Measures the *production* dispatch shape: SAMPLES_PER_CALL paths per pixel
+Measures the *production* dispatch shape: SAMPLES_FWD paths per pixel
 fused into one device call via ``fori_loop`` (the Renderer's execute_many
 path) with the production RNG (``rng.make_key``), min-of-repeats to shed
 the remote tunnel's dispatch variance. The runtime's fixed per-dispatch
@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_S = 2.0e6  # estimated Rust reference, 24 CPU threads
-SAMPLES_PER_CALL = 16
+SAMPLES_FWD = 64   # forward calls amortize dispatch like production renders
+SAMPLES_BWD = 16   # residuals for 16 fused samples fit HBM at chunk 2^17
 HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
 
 EXAMPLES = "/root/reference/example"
@@ -129,13 +130,13 @@ def main():
                                      jax.random.fold_in(key, i))
                 return acc + rad
 
-            return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body,
+            return jax.lax.fori_loop(0, SAMPLES_FWD, body,
                                      jnp.zeros((_chunk, 3), jnp.float32))
 
         fwd_j = jax.jit(fwd)
         fwd_raw = _time_best(fwd_j, scene, coords, key)
         fwd_s = max(fwd_raw - overhead, 0.25 * fwd_raw)
-        rays = chunk * SAMPLES_PER_CALL / fwd_s
+        rays = chunk * SAMPLES_FWD / fwd_s
         per_config[name] = {"fwd_rays_per_s": round(rays, 1), "chunk": chunk,
                             "bounce": bounce, "n_prims": scene.n_prims,
                             "raw_call_ms": round(fwd_raw * 1e3, 1)}
@@ -163,14 +164,14 @@ def main():
                                              coords, jax.random.fold_in(key, i))
                         return acc + jnp.mean(rad ** 2)
 
-                    return jax.lax.fori_loop(0, SAMPLES_PER_CALL, body, 0.0)
+                    return jax.lax.fori_loop(0, SAMPLES_BWD, body, 0.0)
 
                 return jax.grad(loss_fn)(params)
 
             bwd_raw = _time_best(jax.jit(fwdbwd), params, coords, key)
             bwd_s = max(bwd_raw - overhead, 0.25 * bwd_raw)
             headline["fwdbwd_rays_per_s"] = round(
-                chunk * SAMPLES_PER_CALL / bwd_s, 1)
+                chunk * SAMPLES_BWD / bwd_s, 1)
             headline["fwdbwd_raw_call_ms"] = round(bwd_raw * 1e3, 1)
 
     value = headline["fwdbwd_rays_per_s"]
@@ -184,7 +185,7 @@ def main():
         "configs": per_config,
         "dispatch_overhead_ms": round(overhead * 1e3, 2),
         "fwdbwd_raw_call_ms": headline.get("fwdbwd_raw_call_ms"),
-        "samples_per_call": SAMPLES_PER_CALL,
+        "samples_per_call": {"fwd": SAMPLES_FWD, "bwd": SAMPLES_BWD},
         "device": str(jax.devices()[0]),
     }))
 

@@ -172,7 +172,7 @@ def raytrace(args, cfg: schema.RenderConfig) -> float:
     remaining = cfg.rt.sample - (r.count if args.resume else 0)
     # --update renders one sample per pass so every sample can be saved;
     # otherwise passes are fused for device efficiency.
-    step = 1 if args.update else min(max(remaining, 1), 16)
+    step = 1 if args.update else min(max(remaining, 1), 64)
     from ..utils.profiling import device_trace, rays_per_second
 
     sample = r.count

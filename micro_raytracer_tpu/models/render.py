@@ -254,7 +254,9 @@ def render_image(config: RenderConfig, seed: int = 0, on_sample=None,
     """
     r = Renderer(config, seed=seed)
     total = config.rt.sample
-    step = samples_per_pass or (1 if on_sample else min(total, 16))
+    # 64-sample fused passes: per-dispatch overhead is tens of ms on
+    # tunneled runtimes, so fewer, fatter calls win for big sample counts
+    step = samples_per_pass or (1 if on_sample else min(total, 64))
     done = 0
     while done < total:
         n = min(step, total - done)
