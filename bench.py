@@ -127,7 +127,8 @@ def main():
                 _cam=cam, _chunk=chunk):
             def body(i, acc):
                 rad = trace_radiance(scene, _cam, _wh, _b, _l, coords,
-                                     jax.random.fold_in(key, i))
+                                     jax.random.fold_in(key, i),
+                                     inference=True)
                 return acc + rad
 
             return jax.lax.fori_loop(0, SAMPLES_FWD, body,

@@ -63,8 +63,10 @@ def _sample_chunk_many(scene, cam, render_wh, bounce, n_samples, loss,
     """Accumulate ``n_samples`` paths per pixel of one chunk in a single call."""
 
     def body(i, acc):
+        # inference=True: rendering never differentiates, so the bounce-step
+        # megakernel is eligible (pallas_step)
         rad = trace_radiance(scene, cam, render_wh, bounce, loss, coords,
-                             jax.random.fold_in(key, i))
+                             jax.random.fold_in(key, i), inference=True)
         return acc + rad
 
     return jax.lax.fori_loop(0, n_samples, body, accum)

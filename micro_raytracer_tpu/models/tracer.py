@@ -86,7 +86,7 @@ def _light_dirs_to(scene: SceneArrays, point):
 
 
 def _bounce_step(scene: SceneArrays, frames, attrs, decay, key, carry, i,
-                 tri_pack=None):
+                 tri_pack=None, u=None):
     """One wavefront bounce: closest hit, shadow rays, reflect/refract pick.
 
     Shared between the record-emitting path (:func:`trace_records`) and the
@@ -123,8 +123,8 @@ def _bounce_step(scene: SceneArrays, frames, attrs, decay, key, carry, i,
         n_exit = jnp.where(jnp.isfinite(n_exit), n_exit, 0.0)
         mat_x = intersect.material_from_attrs(scene, at_x, exit_p)
 
-    k = jax.random.fold_in(key, i)
-    u = rng.uniform(k, (R, 7))
+    if u is None:
+        u = rng.uniform(jax.random.fold_in(key, i), (R, 7))
 
     # per-light shadow rays from the entry hit (rt.rs:1027-1046)
     if L > 0:
@@ -245,9 +245,42 @@ def trace_records(scene: SceneArrays, frames, attrs, bounce: int,
     return records
 
 
+def _fold_update(scene: SceneArrays, rec, A, B, u_emit):
+    """One forward composition step of the affine shading fold.
+
+    ``col = A (.) col_tail + B``; per bounce B += A*b, A *= a with
+    a/b per rt.rs:966-992 (see trace_fused). Returns (A2, B2).
+    """
+    live = rec["live"]
+    b_emit = u_emit < rec["emit"]                           # rt.rs:966-970
+    l_col = _direct_light(scene, rec)
+    pwr_c = rec["pwr"][:, None]
+    a = jnp.where(b_emit[:, None], 0.0, pwr_c * (0.5 + rec["color"]))
+    b = jnp.where(b_emit[:, None], rec["color"], pwr_c * l_col)
+    a = jnp.where(live[:, None], a, 1.0)
+    b = jnp.where(live[:, None], b, 0.0)
+    return A * a, B + A * b
+
+
+def fused_step_reference(scene: SceneArrays, frames, attrs, decay,
+                         ray, A, B, u, u_emit, tri_pack=None):
+    """One full fused bounce step from explicit uniforms (no RNG inside).
+
+    The semantic reference for the Pallas bounce-step megakernel — its
+    custom-VJP backward replays exactly this function — and the jnp
+    fallback path with injected uniforms.
+    Returns (ray2, A2, B2, live2).
+    """
+    ray2, rec = _bounce_step(scene, frames, attrs, decay, None, ray, 0,
+                             tri_pack=tri_pack, u=u)
+    A2, B2 = _fold_update(scene, rec, A, B, u_emit)
+    return ray2, A2, B2, rec["live"]
+
+
 def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                 orig, dirs, loss, key_trace, key_shade,
-                remat: bool = False, tri_pack=None):
+                remat: bool = False, tri_pack=None,
+                inference: bool = False):
     """Forward bounce loop with the shading fold composed *forward*.
 
     ``reduce_light`` (rt.rs:956-994) is an affine recurrence in the radiance:
@@ -266,23 +299,24 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
     R = orig.shape[0]
     decay = 1.0 - jnp.minimum(loss, 1.0)
 
+    from ..ops import pallas_step
+
+    use_step_kernel = pallas_step.enabled_for(scene, inference=inference)
+
     def step(carry, i):
         ray, A, B, first_live = carry
-        ray2, rec = _bounce_step(scene, frames, attrs, decay, key_trace,
-                                 ray, i, tri_pack=tri_pack)
-        live = rec["live"]
+        u = rng.uniform(jax.random.fold_in(key_trace, i), (R, 7))
         u_emit = rng.uniform(jax.random.fold_in(key_shade, i), (R,))
-        b_emit = u_emit < rec["emit"]                           # rt.rs:966-970
-        l_col = _direct_light(scene, rec)
-        pwr_c = rec["pwr"][:, None]
-        a = jnp.where(b_emit[:, None], 0.0, pwr_c * (0.5 + rec["color"]))
-        b = jnp.where(b_emit[:, None], rec["color"], pwr_c * l_col)
-        a = jnp.where(live[:, None], a, 1.0)
-        b = jnp.where(live[:, None], b, 0.0)
-        B = B + A * b
-        A = A * a
+        if use_step_kernel:
+            ray2, A2, B2, live = pallas_step.step(
+                scene, frames, decay, ray, A, B, u, u_emit,
+                tri_pack=tri_pack)
+        else:
+            ray2, A2, B2, live = fused_step_reference(
+                scene, frames, attrs, decay, ray, A, B, u, u_emit,
+                tri_pack=tri_pack)
         first_live = jnp.where(i == 0, live, first_live)
-        return (ray2, A, B, first_live), None
+        return (ray2, A2, B2, first_live), None
 
     step_fn = jax.checkpoint(step) if remat else step
     init = ((orig, dirs, jnp.ones((R,), orig.dtype), jnp.ones((R,), bool)),
@@ -341,7 +375,7 @@ def shade_records(scene: SceneArrays, records, key):
 
 def trace_radiance(scene: SceneArrays, cam: CameraArrays, render_wh,
                    bounce: int, loss, coords, key, remat: bool = False,
-                   fused: bool | None = None):
+                   fused: bool | None = None, inference: bool = False):
     """Full per-pixel radiance: camera rays -> bounce scan -> shading fold.
 
     One path per coordinate; the caller accumulates samples (the reference's
@@ -368,7 +402,7 @@ def trace_radiance(scene: SceneArrays, cam: CameraArrays, render_wh,
     if fused:
         return trace_fused(scene, frames, attrs, bounce, orig, dirs,
                            loss, k_trace, k_shade, remat=remat,
-                           tri_pack=tri_pack)
+                           tri_pack=tri_pack, inference=inference)
     records = trace_records(scene, frames, attrs, bounce, orig, dirs,
                             loss, k_trace, remat=remat, tri_pack=tri_pack)
     return shade_records(scene, records, k_shade)

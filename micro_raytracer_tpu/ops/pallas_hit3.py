@@ -148,12 +148,16 @@ def _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d):
     return t0, t1, ok
 
 
-def _hit_kernel(layout, need_exit,
-                fr, ipos, pa, pr, valid, gid, AT, HT, thr, o_r, d_r,
-                te_o, row_o, tx_o, xrow_o, tx_s):
+def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
+                  AT, HT, thr, o, d, tx_s):
+    """In-kernel closest-hit sweep over every kind segment.
+
+    ``o``/``d`` are (3, RT) lane-major rows; returns (te, row, wg, tx, xrow)
+    as (1, RT) values. Shared by the hit kernel and the bounce-step
+    megakernel (pallas_step). ``tx_s`` is the (P_pad, RT) exit scratch,
+    only written when ``need_exit``.
+    """
     segs, tri_start, n_tri = layout
-    o = o_r[...]
-    d = d_r[...]
     RT = o.shape[1]
     shape = (1, RT)
 
@@ -204,13 +208,9 @@ def _hit_kernel(layout, need_exit,
         carry = jax.lax.fori_loop(0, n_blocks, tri_body, carry)
 
     te, row, wg = carry
-    te_o[...] = te
-    row_o[...] = jnp.where(row == _BIGI, 0, row)
-
+    row = jnp.where(row == _BIGI, 0, row)
     if not need_exit:
-        tx_o[...] = te
-        xrow_o[...] = jnp.where(row == _BIGI, 0, row)
-        return
+        return te, row, wg, te, row
 
     # pass 2: farthest stashed exit-t within the winning group. Stashed
     # values are -BIG where invalid; for triangles the stash holds the
@@ -242,8 +242,19 @@ def _hit_kernel(layout, need_exit,
         tx_best, x_best = jax.lax.fori_loop(0, n_blocks, exit_tri,
                                             (tx_best, x_best))
 
-    tx_o[...] = tx_best
-    xrow_o[...] = jnp.where(x_best == _BIGI, 0, x_best)
+    return te, row, wg, tx_best, jnp.where(x_best == _BIGI, 0, x_best)
+
+
+def _hit_kernel(layout, need_exit,
+                fr, ipos, pa, pr, valid, gid, AT, HT, thr, o_r, d_r,
+                te_o, row_o, tx_o, xrow_o, tx_s):
+    te, row, _, tx, xrow = sweep_closest(
+        layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
+        o_r[...], d_r[...], tx_s)
+    te_o[...] = te
+    row_o[...] = row
+    tx_o[...] = tx
+    xrow_o[...] = xrow
 
 
 def pack_scene(scene, frames, tri_pack):

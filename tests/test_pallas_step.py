@@ -1,0 +1,132 @@
+"""Correctness of the bounce-step megakernel (interpret mode) against the
+jnp reference step it mirrors, including the replay-based VJP."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from micro_raytracer_tpu.models import schema
+from micro_raytracer_tpu.models.compiler import compile_camera, compile_scene
+from micro_raytracer_tpu.models import tracer
+from micro_raytracer_tpu.ops import intersect, pallas_step
+
+
+def scenes():
+    rng = np.random.default_rng(4)
+    tris = rng.uniform(-1, 1, (16, 3, 3)).astype(np.float32)
+    opaque = {
+        "renderer": [
+            {"type": "sphere", "r": 0.4, "pos": [0.3, 0.2, 0]},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.8]},
+            {"type": "box", "sizes": [0.3, 0.4, 0.5], "pos": [-0.6, 0.8, 0],
+             "dir": [0, 0.5, 0.5, 0.1], "mat": {"rough": 0.7, "emit": 0.3}},
+        ],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.6},
+                  {"type": "dir", "dir": [0.3, 0.5, -1], "pwr": 0.3}],
+        "sky": {"color": [0.15, 0.2, 0.3], "pwr": 0.5},
+    }
+    glass = {
+        "renderer": [
+            {"type": "sphere", "r": 0.4, "mat": {"glass": 0.08, "opacity": 0.0}},
+            {"type": "mesh", "mesh": tris.tolist(), "pos": [0.1, 0.9, 0.2],
+             "mat": {"rough": 0.9}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.8],
+             "mat": {"rough": 1.0}},
+        ],
+        "light": [{"type": "point", "pos": [0, -1, 1], "pwr": 0.6}],
+        "sky": {"color": [0.2, 0.3, 0.4], "pwr": 0.5},
+    }
+    return {"opaque": opaque, "glass": glass}
+
+
+def state(scene, n=256, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    pwr = jnp.asarray(rng.uniform(0.5, 1.0, (n,)), jnp.float32)
+    live = jnp.asarray(rng.random(n) < 0.9)
+    A = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    B = jnp.asarray(rng.uniform(0, 0.5, (n, 3)), jnp.float32)
+    u = jnp.asarray(rng.random((n, 7)), jnp.float32)
+    u_emit = jnp.asarray(rng.random(n), jnp.float32)
+    return (o, d, pwr, live), A, B, u, u_emit
+
+
+@pytest.mark.parametrize("which", ["opaque", "glass"])
+def test_step_kernel_matches_reference(which, monkeypatch):
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "0")   # reference side stays dense
+    monkeypatch.setenv("MRT_TRI_PALLAS", "0")
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()[which]))
+    frames = intersect.build_frames(scene)
+    attrs = intersect.prim_attributes(scene, frames)
+    ray, A, B, u, u_emit = state(scene)
+    decay = jnp.float32(0.85)
+
+    ray_r, A_r, B_r, live_r = tracer.fused_step_reference(
+        scene, frames, attrs, decay, ray, A, B, u, u_emit)
+    ray_k, A_k, B_k, live_k = pallas_step.step(
+        scene, frames, decay, ray, A, B, u, u_emit)
+
+    np.testing.assert_array_equal(np.asarray(live_r), np.asarray(live_k))
+    for a, b, name in ((ray_r[0], ray_k[0], "o2"), (ray_r[1], ray_k[1], "d2"),
+                       (ray_r[2], ray_k[2], "pwr2"), (A_r, A_k, "A2"),
+                       (B_r, B_k, "B2")):
+        am, bm = np.asarray(a), np.asarray(b)
+        lv = np.asarray(live_k)
+        if am.ndim == 2:
+            lv = lv[:, None] | np.zeros_like(am, bool)
+        # dead lanes keep garbage-but-finite values on both sides; compare
+        # live lanes (plus A/B which are gated on both sides)
+        sel = lv | (name in ("A2", "B2", "pwr2"))
+        np.testing.assert_allclose(am[sel], bm[sel], rtol=2e-4, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_step_kernel_vjp_matches_reference(monkeypatch):
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "0")
+    monkeypatch.setenv("MRT_TRI_PALLAS", "0")
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["opaque"]))
+    ray, A, B, u, u_emit = state(scene, n=128, seed=2)
+    decay = jnp.float32(0.85)
+
+    def loss(albedo, use_kernel):
+        s = dataclasses.replace(scene, mat_albedo=albedo)
+        fr = intersect.build_frames(s)
+        at = intersect.prim_attributes(s, fr)
+        if use_kernel:
+            _, A2, B2, _ = pallas_step.step(s, fr, decay, ray, A, B, u, u_emit)
+        else:
+            _, A2, B2, _ = tracer.fused_step_reference(
+                s, fr, at, decay, ray, A, B, u, u_emit)
+        return jnp.sum(B2) + jnp.sum(A2 * 0.3)
+
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, False))(scene.mat_albedo))
+    g_k = np.asarray(jax.grad(lambda p: loss(p, True))(scene.mat_albedo))
+    assert np.all(np.isfinite(g_k)) and np.abs(g_ref).sum() > 0
+    np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_step_kernel_full_trace_matches(monkeypatch):
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    def run():
+        return np.asarray(trace_radiance(scene, cam, (64, 64), 3,
+                                         jnp.float32(0.15), coords, key))
+
+    monkeypatch.setenv("MRT_STEP", "0")
+    a = run()
+    monkeypatch.setenv("MRT_STEP", "1")
+    b = run()
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
