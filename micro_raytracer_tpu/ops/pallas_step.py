@@ -210,7 +210,7 @@ def _step_kernel(layout, need_exit, L,
     A = A_r[...]
     B = B_r[...]
     u = u_r[...]
-    dk = dk_r[0:1, 0:1]
+    dk = dk_r[0, 0]                                        # SMEM scalar
     RT = o.shape[1]
     P_pad = attr.shape[0]
     hp_prec = jax.lax.Precision.HIGHEST
@@ -238,15 +238,20 @@ def _step_kernel(layout, need_exit, L,
     opa_e = atE[_C_OPA:_C_OPA + 1]
     emi_e = atE[_C_EMI:_C_EMI + 1]
 
-    # per-light shadow occlusion from the entry hit (rt.rs:1027-1046)
+    # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
+    # the light table lives in SMEM so components read as true scalars
+    # (Mosaic cannot concatenate offset (1,1) vector slices)
+    def light_vec(li, p):
+        is_dir = lights[li, 6] > 0.5
+        return jnp.concatenate([
+            jnp.where(is_dir, lights[li, 3], lights[li, 0] - p[0:1]),
+            jnp.where(is_dir, lights[li, 4], lights[li, 1] - p[1:2]),
+            jnp.where(is_dir, lights[li, 5], lights[li, 2] - p[2:3])],
+            axis=0)
+
     light_ok = []
     for li in range(L):
-        lrow = lambda c, n=1: lights[li:li + 1, c:c + n]
-        is_dir = lrow(6) > 0.5
-        lvec = jnp.concatenate([
-            jnp.where(is_dir, lrow(3), lrow(0) - p_e[0:1]),
-            jnp.where(is_dir, lrow(4), lrow(1) - p_e[1:2]),
-            jnp.where(is_dir, lrow(5), lrow(2) - p_e[2:3])], axis=0)
+        lvec = light_vec(li, p_e)
         ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
         sorig = p_e + ln * EPS
         te_s, _, _, _, _ = pallas_hit3.sweep_closest(
@@ -293,19 +298,17 @@ def _step_kernel(layout, need_exit, L,
     # the reference quirk (rt.rs:973-987 vs 1027-1046)
     l_col = jnp.zeros_like(from_p)
     for li in range(L):
-        lrow = lambda c, n=1: lights[li:li + 1, c:c + n]
-        is_dir = lrow(6) > 0.5
-        lvec = jnp.concatenate([
-            jnp.where(is_dir, lrow(3), lrow(0) - from_p[0:1]),
-            jnp.where(is_dir, lrow(4), lrow(1) - from_p[1:2]),
-            jnp.where(is_dir, lrow(5), lrow(2) - from_p[2:3])], axis=0)
+        lvec = light_vec(li, from_p)
         ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
         diff = jnp.maximum(_dot3(ln, norm_c), 0.0)
         lrefl = ln - norm_c * (2.0 * _dot3(ln, norm_c))
         spec = _pow32(jnp.maximum(_dot3(d, lrefl), 0.0)) * (1.0 - rgh_c)
         o_col = alb_c * (1.0 - met_c)
-        color_l = jnp.concatenate([lrow(8), lrow(9), lrow(10)], axis=0)
-        contrib = (o_col * diff * color_l + spec) * lrow(7)
+        pwr_l = lights[li, 7]
+        contrib = jnp.concatenate([
+            (o_col[0:1] * diff * lights[li, 8] + spec) * pwr_l,
+            (o_col[1:2] * diff * lights[li, 9] + spec) * pwr_l,
+            (o_col[2:3] * diff * lights[li, 10] + spec) * pwr_l], axis=0)
         l_col = l_col + jnp.where(light_ok[li], contrib, 0.0)
 
     # fold update (rt.rs:966-992 composed forward)
@@ -350,6 +353,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
     def cspec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     r3 = pl.BlockSpec((3, RAY_TILE), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i))
     r8 = pl.BlockSpec((8, RAY_TILE), lambda i: (0, i))
@@ -366,7 +370,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         grid=(Rp // RAY_TILE,),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
                   cspec(gid), cspec(AT), cspec(HT), cspec(thr), cspec(attr),
-                  cspec(lights), cspec(dk),
+                  smem, smem,
                   r3, r3, r1, r1, r3, r3, r8],
         out_specs=[r3, r3, r1, r1, r3, r3],
         out_shape=out_shapes,
