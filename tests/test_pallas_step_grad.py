@@ -1,0 +1,124 @@
+"""Backward bounce-step megakernel vs the jnp reference step's VJP.
+
+The backward kernel evaluates jax.vjp of the sweep-free residual replay
+(:func:`pallas_step._step_rows`) inside the kernel body; these tests pin
+its cotangents — for every scene leaf and every ray input — to the
+gradients of :func:`tracer.fused_step_reference` (the jnp path the
+training route used before the kernel existed). Interpret mode on CPU.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from micro_raytracer_tpu.models import schema, tracer
+from micro_raytracer_tpu.models.compiler import compile_camera, compile_scene
+from micro_raytracer_tpu.ops import intersect, pallas_step
+
+from test_pallas_step import scenes, state
+
+
+LEAVES = ["mat_albedo", "mat_rough", "mat_metal", "mat_glass", "mat_emit",
+          "mat_opacity", "light_pos", "light_dir", "light_pwr",
+          "light_color", "inst_pos", "inst_dir", "prim_a", "prim_b",
+          "prim_c", "prim_r"]
+
+
+def _step_grads(scene, ray, A, B, u, u_emit, use_kernel, ct):
+    """Cotangents of one bounce step w.r.t. scene leaves + ray inputs."""
+    o, d, pwr, live = ray
+    decay = jnp.float32(0.85)
+
+    def f(leaves, o, d, pwr, A, B):
+        s = dataclasses.replace(scene, **leaves)
+        fr = intersect.build_frames(s)
+        if use_kernel:
+            ray2, A2, B2, _ = pallas_step.step(
+                s, fr, decay, (o, d, pwr, live), A, B, u, u_emit)
+        else:
+            at = intersect.prim_attributes(s, fr)
+            ray2, A2, B2, _ = tracer.fused_step_reference(
+                s, fr, at, decay, (o, d, pwr, live), A, B, u, u_emit)
+        return (ray2[0], ray2[1], ray2[2], A2, B2)
+
+    leaves = {k: getattr(scene, k) for k in LEAVES}
+    _, vjp = jax.vjp(f, leaves, o, d, pwr, A, B)
+    return vjp(ct)
+
+
+@pytest.mark.parametrize("which", ["opaque", "glass"])
+def test_step_bwd_kernel_matches_reference(which, monkeypatch):
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "0")   # reference side stays dense
+    monkeypatch.setenv("MRT_TRI_PALLAS", "0")
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()[which]))
+    ray, A, B, u, u_emit = state(scene, n=256, seed=7)
+
+    # random cotangents, masked to live lanes for the ray outputs (dead
+    # lanes carry garbage-but-finite values on both sides by design)
+    frames = intersect.build_frames(scene)
+    attrs = intersect.prim_attributes(scene, frames)
+    _, _, _, live2 = tracer.fused_step_reference(
+        scene, frames, attrs, jnp.float32(0.85), ray, A, B, u, u_emit)
+    rng = np.random.default_rng(3)
+    m = np.asarray(live2)[:, None]
+    ct = (jnp.asarray(rng.normal(size=(256, 3)) * m, jnp.float32),
+          jnp.asarray(rng.normal(size=(256, 3)) * m, jnp.float32),
+          jnp.asarray(rng.normal(size=(256,)), jnp.float32),
+          jnp.asarray(rng.normal(size=(256, 3)), jnp.float32),
+          jnp.asarray(rng.normal(size=(256, 3)), jnp.float32))
+
+    g_ref = _step_grads(scene, ray, A, B, u, u_emit, False, ct)
+    g_ker = _step_grads(scene, ray, A, B, u, u_emit, True, ct)
+
+    names = ["leaves", "o", "d", "pwr", "A", "B"]
+    for name, gr, gk in zip(names, g_ref, g_ker):
+        flat_r = jax.tree_util.tree_leaves_with_path(gr)
+        flat_k = jax.tree_util.tree_leaves(gk)
+        for (path, r), k in zip(flat_r, flat_k):
+            r, k = np.asarray(r), np.asarray(k)
+            assert np.all(np.isfinite(k)), f"{name}{path}: non-finite"
+            np.testing.assert_allclose(
+                k, r, rtol=5e-4, atol=5e-5,
+                err_msg=f"cotangent mismatch at {name}{path}")
+
+
+def test_step_bwd_nontrivial_gradients(monkeypatch):
+    """Sanity: the kernel's scene-leaf gradients are not silently zero."""
+    monkeypatch.setenv("MRT_STEP", "1")
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+    ray, A, B, u, u_emit = state(scene, n=256, seed=1)
+    ones = (jnp.ones((256, 3)), jnp.ones((256, 3)), jnp.ones((256,)),
+            jnp.ones((256, 3)), jnp.ones((256, 3)))
+    g = _step_grads(scene, ray, A, B, u, u_emit, True, ones)
+    leaves = g[0]
+    for k in ["mat_albedo", "mat_rough", "light_pwr", "inst_pos", "prim_a"]:
+        assert np.abs(np.asarray(leaves[k])).sum() > 0, f"{k} grad all-zero"
+
+
+def test_full_trace_grad_matches_jnp_path(monkeypatch):
+    """grad of the full fused trace through the megakernel == jnp path."""
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 10), np.arange(8, 56, 10))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    def loss(albedo, lpwr, ipos):
+        s = dataclasses.replace(scene, mat_albedo=albedo, light_pwr=lpwr,
+                                inst_pos=ipos)
+        rad = tracer.trace_radiance(s, cam, (64, 64), 3, jnp.float32(0.15),
+                                    coords, key)
+        return jnp.mean(rad ** 2)
+
+    args = (scene.mat_albedo, scene.light_pwr, scene.inst_pos)
+    monkeypatch.setenv("MRT_STEP", "0")
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    monkeypatch.setenv("MRT_STEP", "1")
+    g_ker = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    for r, k in zip(g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=1e-3, atol=1e-6)
