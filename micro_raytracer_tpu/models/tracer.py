@@ -298,32 +298,73 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
     """
     R = orig.shape[0]
     decay = 1.0 - jnp.minimum(loss, 1.0)
+    steps = bounce + 1
 
     from ..ops import pallas_step
 
-    use_step_kernel = pallas_step.enabled_for(scene, inference=inference)
+    if pallas_step.enabled_for(scene, inference=inference):
+        # Megakernel path: the scan carries LANE-MAJOR rows (transpose/pad
+        # once outside), the scene tables are packed once, and all bounce
+        # uniforms are drawn up front as scan inputs — the per-step device
+        # program is the fused kernel plus the carry plumbing, nothing
+        # else. Same fold_in RNG streams as the jnp path below.
+        from ..models import schema as _schema
 
-    def step(carry, i):
-        ray, A, B, first_live = carry
-        u = rng.uniform(jax.random.fold_in(key_trace, i), (R, 7))
-        u_emit = rng.uniform(jax.random.fold_in(key_shade, i), (R,))
-        if use_step_kernel:
-            ray2, A2, B2, live = pallas_step.step(
-                scene, frames, decay, ray, A, B, u, u_emit,
-                tri_pack=tri_pack)
-        else:
+        if tri_pack is None and scene.kind_counts[_schema.KIND_TRIANGLE]:
+            tri_pack = intersect.triangle_pack(scene, frames)
+        consts, attr, lights = pallas_step.pack_step(scene, frames,
+                                                     tri_pack)
+        pad = pallas_step.lane_pad(R)
+        o_p, d_p = orig, dirs
+        if pad:
+            o_p = jnp.pad(orig, ((0, pad), (0, 0)))
+            d_p = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        Rp = R + pad
+        us = []
+        for i in range(steps):
+            u = rng.uniform(jax.random.fold_in(key_trace, i), (R, 7))
+            ue = rng.uniform(jax.random.fold_in(key_shade, i), (R,))
+            u8 = jnp.concatenate([u.T, ue[None]], axis=0)
+            if pad:
+                u8 = jnp.pad(u8, ((0, 0), (0, pad)))
+            us.append(u8)
+        u8s = jnp.stack(us)                                # (steps, 8, Rp)
+
+        def stepk(carry, xs):
+            rayT, A_T, B_T, firstT = carry
+            i, u8 = xs
+            rayT2, A2, B2 = pallas_step.step_packed(
+                scene, consts, attr, lights, decay, rayT, A_T, B_T, u8)
+            firstT = jnp.where(i == 0, rayT2[3], firstT)
+            return (rayT2, A2, B2, firstT), None
+
+        step_fn = jax.checkpoint(stepk) if remat else stepk
+        one = jnp.ones((1, Rp), orig.dtype)
+        init = ((o_p.T, d_p.T, one, one),
+                jnp.ones((3, Rp), orig.dtype), jnp.zeros((3, Rp), orig.dtype),
+                jnp.zeros((1, Rp), orig.dtype))
+        (_, A_T, B_T, firstT), _ = jax.lax.scan(
+            step_fn, init, (jnp.arange(steps), u8s))
+        A, B = A_T.T[:R], B_T.T[:R]
+        first_live = firstT[0, :R] > 0.5
+    else:
+        def step(carry, i):
+            ray, A, B, first_live = carry
+            u = rng.uniform(jax.random.fold_in(key_trace, i), (R, 7))
+            u_emit = rng.uniform(jax.random.fold_in(key_shade, i), (R,))
             ray2, A2, B2, live = fused_step_reference(
                 scene, frames, attrs, decay, ray, A, B, u, u_emit,
                 tri_pack=tri_pack)
-        first_live = jnp.where(i == 0, live, first_live)
-        return (ray2, A2, B2, first_live), None
+            first_live = jnp.where(i == 0, live, first_live)
+            return (ray2, A2, B2, first_live), None
 
-    step_fn = jax.checkpoint(step) if remat else step
-    init = ((orig, dirs, jnp.ones((R,), orig.dtype), jnp.ones((R,), bool)),
-            jnp.ones((R, 3), orig.dtype), jnp.zeros((R, 3), orig.dtype),
-            jnp.zeros((R,), bool))
-    (_, A, B, first_live), _ = jax.lax.scan(step_fn, init,
-                                            jnp.arange(bounce + 1))
+        step_fn = jax.checkpoint(step) if remat else step
+        init = ((orig, dirs, jnp.ones((R,), orig.dtype),
+                 jnp.ones((R,), bool)),
+                jnp.ones((R, 3), orig.dtype), jnp.zeros((R, 3), orig.dtype),
+                jnp.zeros((R,), bool))
+        (_, A, B, first_live), _ = jax.lax.scan(step_fn, init,
+                                                jnp.arange(steps))
     base = jnp.broadcast_to(scene.sky_color * scene.sky_pwr, (R, 3))
     col = B + A * base
     # empty path -> bare sky color, *without* pwr (rt.rs:957-959)

@@ -60,6 +60,23 @@ except Exception:  # pragma: no cover
 
 _MAX_LIGHTS = 4
 
+# Ray-tile sizes for the step kernels (lanes per grid program). The
+# backward kernel carries ~3x the live intermediates of the forward, and
+# measures fastest at a larger tile (fewer grid programs, same VMEM fit):
+# 512/1024 on v5e. Env knobs for experiments.
+_TILE_FWD = int(os.environ.get("MRT_STEP_RT", "512"))
+_TILE_BWD = int(os.environ.get("MRT_STEP_BWD_RT", "1024"))
+_TILE_PAD = max(_TILE_FWD, _TILE_BWD)
+
+
+def _pick_tile(want, Rp):
+    """Largest lane tile <= `want` dividing Rp (Rp is always a multiple of
+    128 via `lane_pad`, so small test batches don't pay full-tile padding)."""
+    t = want
+    while Rp % t:
+        t //= 2
+    return t
+
 
 def available() -> bool:
     env = os.environ.get("MRT_STEP", "")
@@ -91,9 +108,11 @@ def enabled_for(scene, inference: bool = False) -> bool:
         return False
     if inference or os.environ.get("MRT_STEP", "") == "1":
         return True
-    # training opt-in while the backward kernel is being tuned: correct and
-    # TPU-validated, but not yet faster than the jnp+hit3 route
-    return (os.environ.get("MRT_STEP_GRAD", "0") == "1"
+    # training default-on: the component-form backward megakernel matches
+    # the jnp+hit3 gradients bitwise on TPU (tools/grad_check.py) and is
+    # faster end-to-end (16.4M vs 15.5M fwd+bwd rays/s at the bench
+    # config). MRT_STEP_GRAD=0 keeps the megakernel for rendering only.
+    return (os.environ.get("MRT_STEP_GRAD", "1") == "1"
             and _padded_rows(scene.kind_counts) <= _MAX_GRAD_ROWS)
 
 
@@ -363,24 +382,15 @@ def _step_kernel(layout, need_exit, L, train,
 
 
 def _call_step(layout, need_exit, L, consts, attr, lights, decay,
-               o, d, pwr, live, A, B, u8, train=False):
+               oT, dT, pwrT, liveT, AT_r, BT_r, u8, train=False):
+    """One kernel invocation on LANE-MAJOR inputs (o/d/A/B as (3, Rp),
+    pwr/live as (1, Rp), Rp a multiple of the ray tile). Padding and
+    orientation live with the caller so the bounce scan carries dense
+    lane-major rows with no per-step transposes."""
     fr, ipos, pa, pr, valid, gid, AT, HT, thr = consts
     AT = pallas_tri._pad_p(AT)
     HT = pallas_tri._pad_p(HT)
     thr = pallas_tri._pad_p(thr, fill=_BIG)
-    R = o.shape[0]
-    pad = (-R) % RAY_TILE
-    if pad:
-        o = jnp.pad(o, ((0, pad), (0, 0)))
-        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-        pwr = jnp.pad(pwr, ((0, pad),))
-        live = jnp.pad(live, ((0, pad),))
-        A = jnp.pad(A, ((0, pad), (0, 0)))
-        B = jnp.pad(B, ((0, pad), (0, 0)))
-        u8 = jnp.pad(u8, ((0, 0), (0, pad)))
-    oT, dT, AT_r, BT_r = o.T, d.T, A.T, B.T
-    pwrT = pwr[None]
-    liveT = live.astype(jnp.float32)[None]
     Rp = oT.shape[1]
     P_pad = gid.shape[0]
     scratch_rows = max(P_pad, 8)
@@ -390,9 +400,10 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    r3 = pl.BlockSpec((3, RAY_TILE), lambda i: (0, i))
-    r1 = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i))
-    r8 = pl.BlockSpec((8, RAY_TILE), lambda i: (0, i))
+    RT = _pick_tile(_TILE_FWD, Rp)
+    r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
+    r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
+    r8 = pl.BlockSpec((8, RT), lambda i: (0, i))
     f32 = jnp.float32
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
@@ -409,81 +420,170 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         out_specs += [r1, r1, r1, r1]
         if L:
             out_shapes.append(jax.ShapeDtypeStruct((L, Rp), f32))
-            out_specs.append(pl.BlockSpec((L, RAY_TILE), lambda i: (0, i)))
+            out_specs.append(pl.BlockSpec((L, RT), lambda i: (0, i)))
     kern = partial(_step_kernel, layout, need_exit, L, train)
     outs = pl.pallas_call(
         kern,
-        grid=(Rp // RAY_TILE,),
+        grid=(Rp // RT,),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
                   cspec(gid), cspec(AT), cspec(HT), cspec(thr), cspec(attr),
                   smem, smem,
                   r3, r3, r1, r1, r3, r3, r8],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((scratch_rows, RAY_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
     )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, lights, dk,
       oT, dT, pwrT, liveT, AT_r, BT_r, u8)
-    o2, d2, pwr2, live2, A2, B2 = outs[:6]
-    main = (o2.T[:R], d2.T[:R], pwr2[0, :R], live2[0, :R],
-            A2.T[:R], B2.T[:R])
     if not train:
-        return main
-    # residuals stay lane-major/padded — the backward kernel consumes them
-    return main, outs[6:]
+        return outs
+    return outs[:6], outs[6:]
 
 
-# --- sweep-free replay (rows layout) ---------------------------------------
+# --- sweep-free replay (component form, rays on sublanes x lanes) ----------
 #
-# The backward megakernel evaluates jax.vjp of `_step_rows` INSIDE the
+# The backward megakernel evaluates jax.vjp of `_step_comp` INSIDE the
 # kernel body: the replay recomputes every intermediate of `_step_kernel`
 # from the saved residuals without a single sweep, so its machine-derived
 # cotangent code is exactly the step's backward, fused in VMEM.
+#
+# Layout: the forward kernel's (1, R) lane-major rows waste 7/8 of every
+# vector register on a (8, 128)-tiled VPU — fine where the (P, R) sweep
+# dominates, ruinous for the sweep-free backward, which is nothing but
+# per-ray glue. Here every per-ray scalar is an (8, W) block (rays on
+# sublanes AND lanes; `(C, Rp) -> (C*8, Rp/8)` is a contiguity-preserving
+# reshape, so the host-side conversion is free) and 3-vectors are triples
+# of such blocks: full register utilization, ~8x fewer vector ops.
 
-def _fetch_rows(attr, row):
-    """One-hot MXU fetch: attr (P,24) selected by row (1,RT) -> (24,RT)."""
-    P = attr.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (P, row.shape[1]), 0)
-    oh = (iota == row).astype(jnp.float32)
-    return jax.lax.dot_general(attr, oh, (((0,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST)
+_SUBL = 8
 
 
-def _winner_t_rows(layout, att, o, d, row, want_exit, AT=None, HT=None):
+def _att(at, c):
+    """Per-ray attribute c as an (8, W) block of the (C*8, W) bundle."""
+    return at[c * _SUBL:(c + 1) * _SUBL, :]
+
+
+def _v3(at, c):
+    return (_att(at, c), _att(at, c + 1), _att(at, c + 2))
+
+
+def _vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _vop(f, *vs):
+    return tuple(f(*cs) for cs in zip(*vs))
+
+
+def _vadd(a, b):
+    return _vop(jnp.add, a, b)
+
+
+def _vsub(a, b):
+    return _vop(jnp.subtract, a, b)
+
+
+def _vscale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _vwhere(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
+
+
+def _vmatvec(at, v):
+    """M @ v with M the 3x3 frame from attribute columns 0..8."""
+    return tuple(_att(at, 3 * k) * v[0] + _att(at, 3 * k + 1) * v[1]
+                 + _att(at, 3 * k + 2) * v[2] for k in range(3))
+
+
+def _vnorm_safe(v, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(_vdot(v, v), eps))
+    return _vscale(v, inv)
+
+
+def _vfinite0(v):
+    return tuple(jnp.where(jnp.isfinite(c), c, 0.0) for c in v)
+
+
+def _normal_comp(layout, at, p, row):
+    """Component-form twin of `_normal_rows` (rt.rs:776-793 + box quirk)."""
+    segs, tri_start, n_tri = layout
+    ip = _v3(at, _C_IP)
+    hp = _vadd(ip, _vmatvec(at, _vsub(p, ip)))
+    pa = _v3(at, _C_NA)
+
+    n_sph = _vsub(hp, ip)
+    n_pln = pa
+    q = tuple((hp[k] - ip[k]) * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
+              for k in range(3))
+    ix1, ix_1 = jnp.abs(q[0] - 1.0) < EPS, jnp.abs(q[0] + 1.0) < EPS
+    iy1, iy_1 = jnp.abs(q[1] - 1.0) < EPS, jnp.abs(q[1] + 1.0) < EPS
+    iz1, iz_1 = jnp.abs(q[2] - 1.0) < EPS, jnp.abs(q[2] + 1.0) < EPS
+    zero = jnp.zeros_like(q[0])
+    one = jnp.ones_like(q[0])
+    base_x = jnp.where(ix1, one, jnp.where(ix_1, -one, zero))
+    base_y = jnp.where(ix1 | ix_1, zero,
+                       jnp.where(iy1, one, jnp.where(iy_1, -one, zero)))
+    # z test NOT chained to x/y (missing `else`, rt.rs:435)
+    anyz = iz1 | iz_1
+    n_box = (jnp.where(anyz, zero, base_x), jnp.where(anyz, zero, base_y),
+             jnp.where(iz1, one, jnp.where(iz_1, -one, zero)))
+
+    n_obj = pa  # triangle: raw cross-product normal from the attr table
+    for kind, end in reversed([(k, s + c) for k, s, c in segs]):
+        nk = {schema.KIND_SPHERE: n_sph, schema.KIND_PLANE: n_pln,
+              schema.KIND_BOX: n_box}[kind]
+        n_obj = _vwhere(row < end, nk, n_obj)
+    return _vfinite0(_vnorm_safe(_vmatvec(at, n_obj)))
+
+
+def _sphere_rand_comp(n, rough, u1, u2):
+    ct = jnp.clip(1.0 - 2.0 * u1, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    phi = u2 * (2.0 * 3.14159265358979323846)
+    v = (st * jnp.cos(phi), st * jnp.sin(phi), ct)
+    return _vnorm_safe(_vadd(n, _vscale(v, rough)))
+
+
+def _winner_t_comp(layout, at, o, d, row, want_exit, g3=None, h3=None):
     """Analytic entry/exit t of the winner row from its fetched attributes.
 
-    Rows-layout twin of :func:`pallas_hit3._winner_t_all`, with identical
-    guards to `_kind_block` so the value matches the sweep bitwise and the
-    gradient is the masked-min's gradient (winner row only). Geometry for
-    the non-tri kinds comes entirely out of ``att`` (frame 0:9, inst_pos
-    9:12, prim_a 12:15, radius 15); triangles read the Woop rows AT/HT.
+    Component-form twin of :func:`pallas_hit3._winner_t_all`, with
+    identical guards to `_kind_block` so the value matches the sweep
+    bitwise and the gradient is the masked-min's gradient (winner row
+    only). Geometry for the non-tri kinds comes entirely out of ``at``
+    (frame 0:9, inst_pos 9:12, prim_a 12:15, radius 15); triangles read
+    the winner's Woop plane rows ``g3`` (3-tuple)/``h3`` (block),
+    pre-fetched by the caller.
     """
     segs, tri_start, n_tri = layout
-    ip = _rows3(att, _C_IP)
-    na = _rows3(att, _C_NA)
-    r_ = att[_C_PR:_C_PR + 1]
-    op = ip + _matvec_rows(att, o - ip)
-    dp = _matvec_rows(att, d)
+    ip = _v3(at, _C_IP)
+    na = _v3(at, _C_NA)
+    r_ = _att(at, _C_PR)
+    op = _vadd(ip, _vmatvec(at, _vsub(o, ip)))
+    dp = _vmatvec(at, d)
     # sphere (rt.rs:299-330)
-    oc = op - ip
-    a = _dot3(dp, dp)
-    bq = 2.0 * _dot3(oc, dp)
-    c = _dot3(oc, oc) - r_ * r_
+    oc = _vsub(op, ip)
+    a = _vdot(dp, dp)
+    bq = 2.0 * _vdot(oc, dp)
+    c = _vdot(oc, oc) - r_ * r_
     disc = bq * bq - 4.0 * a * c
     sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
     a2 = jnp.where(a == 0.0, 1.0, 2.0 * a)
     t_sph = ((-bq + sq) / a2) if want_exit else ((-bq - sq) / a2)
     # plane (rt.rs:333-358)
-    nn = _dot3(na, na)
+    nn = _vdot(na, na)
     inv = jax.lax.rsqrt(jnp.where(nn > 0.0, nn, 1.0))
-    nr = na * inv
-    ddp = -_dot3(nr, ip)
-    dn = _dot3(dp, nr)
-    t_pln = -(_dot3(op, nr) + ddp) / jnp.where(dn == 0.0, 1.0, dn)
+    nr = _vscale(na, inv)
+    ddp = -_vdot(nr, ip)
+    dn = _vdot(dp, nr)
+    t_pln = -(_vdot(op, nr) + ddp) / jnp.where(dn == 0.0, 1.0, dn)
     # box slabs (rt.rs:401-412)
     lo = hi = None
     for k in range(3):
-        dpc, opc, ipc, szc = dp[k:k + 1], op[k:k + 1], ip[k:k + 1], na[k:k + 1]
+        dpc, opc, ipc, szc = dp[k], op[k], ip[k], na[k]
         mm = 1.0 / jnp.where(dpc == 0.0, 1.0, dpc)
         mm = jnp.where(dpc == 0.0, 1.0 / EPS, mm)
         nnb = (opc - ipc) * mm
@@ -494,17 +594,8 @@ def _winner_t_rows(layout, att, o, d, row, want_exit, AT=None, HT=None):
     t_box = hi if want_exit else lo
     # triangle: Woop plane form (pallas_tri._winner_t), entry == exit
     if n_tri:
-        Pt = AT.shape[0]
-        row_t = jnp.clip(row - tri_start, 0, Pt - 1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Pt, row.shape[1]), 0)
-        oh = (iota == row_t).astype(jnp.float32)
-        hp = jax.lax.Precision.HIGHEST
-        g3 = jax.lax.dot_general(AT[:, 6:9], oh, (((0,), (0,)), ((), ())),
-                                 precision=hp)
-        h3 = jax.lax.dot_general(HT[:, 2:3], oh, (((0,), (0,)), ((), ())),
-                                 precision=hp)
-        oz = _dot3(o, g3) + h3
-        dz = _dot3(d, g3)
+        oz = _vdot(o, g3) + h3
+        dz = _vdot(d, g3)
         t_tri = -oz / jnp.where(dz == 0.0, 1.0, dz)
     else:
         t_tri = t_sph
@@ -516,103 +607,107 @@ def _winner_t_rows(layout, att, o, d, row, want_exit, AT=None, HT=None):
     return t
 
 
-def _step_rows(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
+def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
                lok):
-    """Sweep-free bounce step from saved residuals (lane-major rows).
+    """Sweep-free bounce step from saved residuals (component form).
 
-    ``p`` holds the differentiable inputs: attr (P,24), o/d/A/B (3,RT),
-    pwr/dk (1,RT), lr (per-light list of 11 (1,RT) rows), AT/HT (tri Woop
-    rows). Everything else is control. Mirrors `_step_kernel` op for op;
-    the analytic winner-t is pinned to the saved value through
-    ``stop_gradient`` so the primal linearization point is the forward
-    kernel's exact output.
+    ``p`` holds the differentiable inputs: the pre-fetched winner/exit
+    attribute bundles atE/atX (24*8, W), tri Woop plane components
+    g3e/h3e (+exit), o/d/A/B (3-tuples of (8,W) blocks), pwr/dk blocks,
+    lr (per-light list of 11 blocks). Everything else is control.
+    Mirrors `_step_kernel` op for op; the analytic winner-t is pinned to
+    the saved value through ``stop_gradient`` so the primal linearization
+    point is the forward kernel's exact output. Keeping the one-hot
+    fetches OUT of this function keeps the backward kernel dot-free: the
+    cotangents d_atE/d_atX come back as dense bundles and the caller
+    scatters them to the attribute matrix with one XLA-side one-hot
+    matmul over the whole ray batch.
     """
-    attr, o, d = p["attr"], p["o"], p["d"]
+    o, d = p["o"], p["d"]
     pwr, A, B = p["pwr"], p["A"], p["B"]
     hit = te_sv < _BIG * 0.5
     live_i = live & hit
 
-    atE = _fetch_rows(attr, row)
-    te_ad = _winner_t_rows(layout, atE, o, d, row, False,
-                           p.get("AT"), p.get("HT"))
+    atE = p["atE"]
+    te_ad = _winner_t_comp(layout, atE, o, d, row, False,
+                           p.get("g3e"), p.get("h3e"))
     te = te_ad + jax.lax.stop_gradient(te_sv - te_ad)
     te_f = jnp.where(live_i, te, 1.0)
-    p_e = o + d * te_f
-    n_e = _normal_rows(layout, atE, p_e, row)
-    alb_e = _rows3(atE, _C_ALB)
-    rgh_e = atE[_C_RGH:_C_RGH + 1]
-    met_e = atE[_C_MET:_C_MET + 1]
-    opa_e = atE[_C_OPA:_C_OPA + 1]
-    emi_e = atE[_C_EMI:_C_EMI + 1]
+    p_e = _vadd(o, _vscale(d, te_f))
+    n_e = _normal_comp(layout, atE, p_e, row)
+    alb_e = _v3(atE, _C_ALB)
+    rgh_e = _att(atE, _C_RGH)
+    met_e = _att(atE, _C_MET)
+    opa_e = _att(atE, _C_OPA)
+    emi_e = _att(atE, _C_EMI)
 
     diel_e = (met_e == 0.0) & (opa_e != 0.0)
-    rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
-    nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
-    refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
+    rough_r = jnp.where(diel_e & (u[0] < 0.8), 1.0, rgh_e)
+    nr = _sphere_rand_comp(n_e, rough_r, u[1], u[2])
+    refl = _vnorm_safe(_vsub(d, _vscale(nr, 2.0 * _vdot(d, nr))))
 
     if need_exit:
-        atX = _fetch_rows(attr, xrow)
-        tx_ad = _winner_t_rows(layout, atX, o, d, xrow, True,
-                               p.get("AT"), p.get("HT"))
+        atX = p["atX"]
+        tx_ad = _winner_t_comp(layout, atX, o, d, xrow, True,
+                               p.get("g3x"), p.get("h3x"))
         tx = tx_ad + jax.lax.stop_gradient(tx_sv - tx_ad)
         tx_f = jnp.where(live_i, tx, 1.0)
-        p_x = o + d * tx_f
-        n_x = _normal_rows(layout, atX, p_x, xrow)
-        diel_x = (atX[_C_MET:_C_MET + 1] == 0.0) & \
-                 (atX[_C_OPA:_C_OPA + 1] != 0.0)
-        rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0,
-                            atX[_C_RGH:_C_RGH + 1])
-        nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
-        eta = 1.0 + 0.5 * atX[_C_GLS:_C_GLS + 1]
-        cos = -_dot3(nf, d)
+        p_x = _vadd(o, _vscale(d, tx_f))
+        n_x = _normal_comp(layout, atX, p_x, xrow)
+        diel_x = (_att(atX, _C_MET) == 0.0) & (_att(atX, _C_OPA) != 0.0)
+        rough_f = jnp.where(diel_x & (u[3] < 0.8), 1.0, _att(atX, _C_RGH))
+        nf = _sphere_rand_comp(n_x, rough_f, u[4], u[5])
+        eta = 1.0 + 0.5 * _att(atX, _C_GLS)
+        cos = -_vdot(nf, d)
         kk = 1.0 - eta * eta * (1.0 - cos * cos)
         refr_ok = kk >= 0.0
         k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
-        refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
-        refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
-        choose = (u[6:7] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+        refr = _vnorm_safe(_vadd(_vscale(d, eta),
+                                 _vscale(nf, cos * eta + jnp.sqrt(k_safe))))
+        refr = _vfinite0(refr)
+        choose = (u[6] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
 
-        next_dir = jnp.where(choose, refr, refl)
-        from_p = jnp.where(choose, p_x, p_e)
-        norm_c = jnp.where(choose, n_x, n_e)
-        alb_c = jnp.where(choose, _rows3(atX, _C_ALB), alb_e)
-        rgh_c = jnp.where(choose, atX[_C_RGH:_C_RGH + 1], rgh_e)
-        met_c = jnp.where(choose, atX[_C_MET:_C_MET + 1], met_e)
-        emi_c = jnp.where(choose, atX[_C_EMI:_C_EMI + 1], emi_e)
+        next_dir = _vwhere(choose, refr, refl)
+        from_p = _vwhere(choose, p_x, p_e)
+        norm_c = _vwhere(choose, n_x, n_e)
+        alb_c = _vwhere(choose, _v3(atX, _C_ALB), alb_e)
+        rgh_c = jnp.where(choose, _att(atX, _C_RGH), rgh_e)
+        met_c = jnp.where(choose, _att(atX, _C_MET), met_e)
+        emi_c = jnp.where(choose, _att(atX, _C_EMI), emi_e)
     else:
         next_dir, from_p, norm_c = refl, p_e, n_e
         alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
 
-    l_col = jnp.zeros_like(from_p)
+    zero = jnp.zeros_like(pwr)
+    l_col = (zero, zero, zero)
     for li in range(L):
         lr = p["lr"][li]
         is_dir = lr[6] > 0.5
-        lvec = jnp.concatenate([
-            jnp.where(is_dir, lr[3], lr[0] - from_p[0:1]),
-            jnp.where(is_dir, lr[4], lr[1] - from_p[1:2]),
-            jnp.where(is_dir, lr[5], lr[2] - from_p[2:3])], axis=0)
-        ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
-        diff = jnp.maximum(_dot3(ln, norm_c), 0.0)
-        lrefl = ln - norm_c * (2.0 * _dot3(ln, norm_c))
-        spec = _pow32(jnp.maximum(_dot3(d, lrefl), 0.0)) * (1.0 - rgh_c)
-        o_col = alb_c * (1.0 - met_c)
-        contrib = jnp.concatenate([
-            (o_col[0:1] * diff * lr[8] + spec) * lr[7],
-            (o_col[1:2] * diff * lr[9] + spec) * lr[7],
-            (o_col[2:3] * diff * lr[10] + spec) * lr[7]], axis=0)
-        l_col = l_col + jnp.where(lok[li], contrib, 0.0)
+        lvec = tuple(jnp.where(is_dir, lr[3 + k], lr[k] - from_p[k])
+                     for k in range(3))
+        ln = _vscale(lvec, jax.lax.rsqrt(_vdot(lvec, lvec)))
+        diff = jnp.maximum(_vdot(ln, norm_c), 0.0)
+        lrefl = _vsub(ln, _vscale(norm_c, 2.0 * _vdot(ln, norm_c)))
+        spec = _pow32(jnp.maximum(_vdot(d, lrefl), 0.0)) * (1.0 - rgh_c)
+        o_col = _vscale(alb_c, 1.0 - met_c)
+        contrib = tuple((o_col[k] * diff * lr[8 + k] + spec) * lr[7]
+                        for k in range(3))
+        l_col = _vadd(l_col, _vwhere(lok[li], contrib,
+                                     (zero, zero, zero)))
 
-    b_emit = u[7:8] < emi_c
-    a_f = jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c))
-    b_f = jnp.where(b_emit, alb_c, pwr * l_col)
-    a_f = jnp.where(live_i, a_f, 1.0)
-    b_f = jnp.where(live_i, b_f, 0.0)
+    b_emit = u[7] < emi_c
+    a_f = tuple(jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c[k]))
+                for k in range(3))
+    b_f = tuple(jnp.where(b_emit, alb_c[k], pwr * l_col[k])
+                for k in range(3))
+    a_f = tuple(jnp.where(live_i, c, 1.0) for c in a_f)
+    b_f = tuple(jnp.where(live_i, c, 0.0) for c in b_f)
 
-    o2 = from_p + next_dir * EPS
+    o2 = _vadd(from_p, _vscale(next_dir, EPS))
     d2 = next_dir
     pwr2 = pwr * p["dk"]
-    A2 = A * a_f
-    B2 = B + A * b_f
+    A2 = _vop(jnp.multiply, A, a_f)
+    B2 = _vadd(B, _vop(jnp.multiply, A, b_f))
     return o2, d2, pwr2, A2, B2
 
 
@@ -626,10 +721,6 @@ def _misc_rows(L):
 
 def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     refs = list(refs)
-    attr_r = refs.pop(0)
-    if n_tri:
-        ATv_r = refs.pop(0)
-        HTv_r = refs.pop(0)
     lights_s = refs.pop(0)
     dk_s = refs.pop(0)
     (o_r, d_r, pwr_r, live_r, A_r, B_r, u_r,
@@ -637,145 +728,234 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     refs = refs[11:]
     if L:
         lok_r = refs.pop(0)
-    (cto_r, ctd_r, ctp_r, ctA_r, ctB_r,
-     do_o, dd_o, dp_o, dA_o, dB_o, dattr_o) = refs[:11]
-    refs = refs[11:]
+    atE_r = refs.pop(0)
+    if need_exit:
+        atX_r = refs.pop(0)
     if n_tri:
-        dAT_o, dHT_o = refs[:2]
-        refs = refs[2:]
+        g3e_r, h3e_r = refs.pop(0), refs.pop(0)
+        if need_exit:
+            g3x_r, h3x_r = refs.pop(0), refs.pop(0)
+    (cto_r, ctd_r, ctp_r, ctA_r, ctB_r,
+     do_o, dd_o, dp_o, dA_o, dB_o, datE_o) = refs[:11]
+    refs = refs[11:]
+    if need_exit:
+        datX_o = refs.pop(0)
+    if n_tri:
+        dg3e_o, dh3e_o = refs.pop(0), refs.pop(0)
+        if need_exit:
+            dg3x_o, dh3x_o = refs.pop(0), refs.pop(0)
     (dmisc_o,) = refs
 
-    u = u_r[...]
-    live = live_r[...] > 0.5
-    ones = jnp.ones_like(te_r[...])
-    lr = [[lights_s[li, j] * ones for j in range(11)] for li in range(L)]
-    lok = [lok_r[li:li + 1, :] > 0.5 for li in range(L)] if L else []
-    p = {"attr": attr_r[...], "o": o_r[...], "d": d_r[...],
-         "pwr": pwr_r[...], "A": A_r[...], "B": B_r[...],
-         "lr": lr, "dk": dk_s[0, 0] * ones}
-    if n_tri:
-        p["AT"] = ATv_r[...]
-        p["HT"] = HTv_r[...]
+    def v3r(ref):
+        x = ref[...]
+        return _v3(x, 0)
 
-    primal = partial(_step_rows, layout, need_exit, L,
-                     u=u, live=live, te_sv=te_r[...], tx_sv=tx_r[...],
+    u8b = u_r[...]                                          # (64, W)
+    u = [_att(u8b, j) for j in range(8)]
+    te_sv = te_r[...]
+    live = live_r[...] > 0.5
+    ones = jnp.ones_like(te_sv)
+    lr = [[lights_s[li, j] * ones for j in range(11)] for li in range(L)]
+    lokb = lok_r[...] if L else None
+    lok = [_att(lokb, li) > 0.5 for li in range(L)] if L else []
+    p = {"o": v3r(o_r), "d": v3r(d_r),
+         "pwr": pwr_r[...], "A": v3r(A_r), "B": v3r(B_r),
+         "lr": lr, "dk": dk_s[0, 0] * ones, "atE": atE_r[...]}
+    if need_exit:
+        p["atX"] = atX_r[...]
+    if n_tri:
+        p["g3e"], p["h3e"] = v3r(g3e_r), h3e_r[...]
+        if need_exit:
+            p["g3x"], p["h3x"] = v3r(g3x_r), h3x_r[...]
+
+    primal = partial(_step_comp, layout, need_exit, L,
+                     u=u, live=live, te_sv=te_sv, tx_sv=tx_r[...],
                      row=row_r[...], xrow=xrow_r[...], lok=lok)
     _, vjp = jax.vjp(lambda pp: primal(pp), p)
-    g = vjp((cto_r[...], ctd_r[...], ctp_r[...], ctA_r[...], ctB_r[...]))[0]
+    g = vjp((v3r(cto_r), v3r(ctd_r), ctp_r[...],
+             v3r(ctA_r), v3r(ctB_r)))[0]
 
-    do_o[...] = g["o"]
-    dd_o[...] = g["d"]
+    def put3(ref, v):
+        ref[...] = jnp.concatenate(v, axis=0)
+
+    put3(do_o, g["o"])
+    put3(dd_o, g["d"])
     dp_o[...] = g["pwr"]
-    dA_o[...] = g["A"]
-    dB_o[...] = g["B"]
+    put3(dA_o, g["A"])
+    put3(dB_o, g["B"])
+    datE_o[...] = g["atE"]
+    if need_exit:
+        datX_o[...] = g["atX"]
+    if n_tri:
+        put3(dg3e_o, g["g3e"])
+        dh3e_o[...] = g["h3e"]
+        if need_exit:
+            put3(dg3x_o, g["g3x"])
+            dh3x_o[...] = g["h3x"]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dattr_o[...] = jnp.zeros_like(dattr_o)
         dmisc_o[...] = jnp.zeros_like(dmisc_o)
-        if n_tri:
-            dAT_o[...] = jnp.zeros_like(dAT_o)
-            dHT_o[...] = jnp.zeros_like(dHT_o)
 
-    dattr_o[...] += g["attr"]
-    if n_tri:
-        dAT_o[...] += g["AT"]
-        dHT_o[...] += g["HT"]
-    # per-ray partials of the broadcast scalars; reduced outside the kernel
+    # per-ray partials of the broadcast scalars (sublane-reduced here);
+    # the lane reduction happens outside the kernel
     for li in range(L):
         for j in range(11):
             k = li * 11 + j
-            dmisc_o[k:k + 1, :] += g["lr"][li][j]
-    dmisc_o[L * 11:L * 11 + 1, :] += g["dk"]
+            dmisc_o[k:k + 1, :] += jnp.sum(g["lr"][li][j], axis=0,
+                                           keepdims=True)
+    dmisc_o[L * 11:L * 11 + 1, :] += jnp.sum(g["dk"], axis=0,
+                                             keepdims=True)
+
+
+def _fetch_full(tab, idx, hp=jax.lax.Precision.HIGHEST):
+    """XLA-side one-hot fetch over the whole ray batch: (C_cols, Rp)."""
+    oh = jax.nn.one_hot(idx, tab.shape[0], dtype=tab.dtype)     # (Rp, P)
+    return jax.lax.dot(oh, tab, precision=hp).T
+
+
+def _scatter_full(idx, ct_rows, P, hp=jax.lax.Precision.HIGHEST):
+    """Transpose of `_fetch_full`: accumulate (C, Rp) cotangents into the
+    (P, C) table — one MXU matmul contracting the full ray batch."""
+    oh = jax.nn.one_hot(idx, P, dtype=ct_rows.dtype)            # (Rp, P)
+    return jax.lax.dot_general(oh, ct_rows, (((0,), (1,)), ((), ())),
+                               precision=hp)                     # (P, C)
 
 
 def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
-                   res_lane, cts):
-    """Run the backward megakernel; returns cotangents for
-    (attr, lights, dk, o, d, pwr, A, B, AT, HT)."""
-    n_tri = layout[2]
-    AT = pallas_tri._pad_p(AT)
-    HT = pallas_tri._pad_p(HT)
+                   res_lane, cts_lane):
+    """Run the backward megakernel; returns LANE-MAJOR cotangents for
+    (attr, lights, dk, o, d, pwr, A, B, AT, HT).
+
+    The winner/exit attribute rows are fetched here (one one-hot MXU
+    matmul over the full batch) and their cotangents scattered back the
+    same way, so the kernel body itself is dot-free.
+    """
+    segs, tri_start, n_tri = layout
+    ATp = pallas_tri._pad_p(AT)
+    HTp = pallas_tri._pad_p(HT)
     (oT, dT, pwrT, liveT, AT_r, BT_r, u8,
      te, tx, row, xrow, lok) = res_lane
     Rp = oT.shape[1]
-    ct_o, ct_d, ct_pwr, ct_A, ct_B = cts
-    R = ct_o.shape[0]
-    pad = (-R) % RAY_TILE
-    if pad:
-        ct_o = jnp.pad(ct_o, ((0, pad), (0, 0)))
-        ct_d = jnp.pad(ct_d, ((0, pad), (0, 0)))
-        ct_pwr = jnp.pad(ct_pwr, ((0, pad),))
-        ct_A = jnp.pad(ct_A, ((0, pad), (0, 0)))
-        ct_B = jnp.pad(ct_B, ((0, pad), (0, 0)))
-    ctoT, ctdT, ctAT, ctBT = ct_o.T, ct_d.T, ct_A.T, ct_B.T
-    ctpT = ct_pwr[None]
+    ctoT, ctdT, ctpT, ctAT, ctBT = cts_lane
     P_pad = attr.shape[0]
     MR = _misc_rows(L)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
 
-    def cspec(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
+    atE = _fetch_full(attr, row[0])
+    args_ext, specs_ext = [], []
+    if need_exit:
+        atX = _fetch_full(attr, xrow[0])
+    if n_tri:
+        Pt = ATp.shape[0]
+        rt_e = jnp.clip(row[0] - tri_start, 0, Pt - 1)
+        g3e = _fetch_full(ATp[:, 6:9], rt_e)
+        h3e = _fetch_full(HTp[:, 2:3], rt_e)
+        if need_exit:
+            rt_x = jnp.clip(xrow[0] - tri_start, 0, Pt - 1)
+            g3x = _fetch_full(ATp[:, 6:9], rt_x)
+            h3x = _fetch_full(HTp[:, 2:3], rt_x)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    r3 = pl.BlockSpec((3, RAY_TILE), lambda i: (0, i))
-    r1 = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i))
-    r8 = pl.BlockSpec((8, RAY_TILE), lambda i: (0, i))
-    rL = pl.BlockSpec((max(L, 1), RAY_TILE), lambda i: (0, i))
-    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+    RT = _pick_tile(_TILE_BWD, Rp)
+    if RT != Rp and RT % (128 * _SUBL):
+        # Mosaic needs the block's lane width (RT/8) to be a multiple of
+        # 128 unless the block spans the whole array: bump to 1024 rays
+        # when the padding allows, else run the batch as one grid program.
+        RT = 128 * _SUBL if Rp % (128 * _SUBL) == 0 else Rp
+    W, WT = Rp // _SUBL, RT // _SUBL
     f32 = jnp.float32
 
-    in_specs = [cspec(attr)]
-    args = [attr]
-    if n_tri:
-        in_specs += [cspec(AT), cspec(HT)]
-        args += [AT, HT]
-    in_specs += [smem, smem]
-    args += [lights, dk_s]
-    in_specs += [r3, r3, r1, r1, r3, r3, r8, r1, r1, r1, r1]
-    args += [oT, dT, pwrT, liveT, AT_r, BT_r, u8, te, tx, row, xrow]
-    if L:
-        in_specs.append(rL)
-        args.append(lok)
-    in_specs += [r3, r3, r1, r3, r3]
-    args += [ctoT, ctdT, ctpT, ctAT, ctBT]
+    def comp(x):
+        """(C, Rp) lane-major -> (C*8, W) component bundle; row-major
+        contiguity makes this a free reinterpretation in XLA."""
+        return x.reshape(x.shape[0] * _SUBL, W)
 
-    out_specs = [r3, r3, r1, r3, r3, acc((P_pad, 24))]
-    out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
-                  jax.ShapeDtypeStruct((3, Rp), f32),
-                  jax.ShapeDtypeStruct((1, Rp), f32),
-                  jax.ShapeDtypeStruct((3, Rp), f32),
-                  jax.ShapeDtypeStruct((3, Rp), f32),
-                  jax.ShapeDtypeStruct((P_pad, 24), f32)]
+    def b(c):
+        return pl.BlockSpec((c * _SUBL, WT), lambda i: (0, i))
+
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+
+    def shp(c):
+        return jax.ShapeDtypeStruct((c * _SUBL, W), f32)
+
+    in_specs = [smem, smem,
+                b(3), b(3), b(1), b(1), b(3), b(3), b(8),
+                b(1), b(1), b(1), b(1)]
+    args = [lights, dk_s] + [comp(x) for x in (
+        oT, dT, pwrT, liveT, AT_r, BT_r, u8, te, tx, row, xrow)]
+    if L:
+        in_specs.append(b(L))
+        args.append(comp(lok))
+    in_specs.append(b(24))
+    args.append(comp(atE))
+    if need_exit:
+        in_specs.append(b(24))
+        args.append(comp(atX))
     if n_tri:
-        out_specs += [acc(AT.shape), acc(HT.shape)]
-        out_shapes += [jax.ShapeDtypeStruct(AT.shape, f32),
-                       jax.ShapeDtypeStruct(HT.shape, f32)]
-    out_specs.append(acc((MR, RAY_TILE)))
-    out_shapes.append(jax.ShapeDtypeStruct((MR, RAY_TILE), f32))
+        in_specs += [b(3), b(1)]
+        args += [comp(g3e), comp(h3e)]
+        if need_exit:
+            in_specs += [b(3), b(1)]
+            args += [comp(g3x), comp(h3x)]
+    in_specs += [b(3), b(3), b(1), b(3), b(3)]
+    args += [comp(x) for x in (ctoT, ctdT, ctpT, ctAT, ctBT)]
+
+    out_specs = [b(3), b(3), b(1), b(3), b(3), b(24)]
+    out_shapes = [shp(3), shp(3), shp(1), shp(3), shp(3), shp(24)]
+    if need_exit:
+        out_specs.append(b(24))
+        out_shapes.append(shp(24))
+    if n_tri:
+        out_specs += [b(3), b(1)]
+        out_shapes += [shp(3), shp(1)]
+        if need_exit:
+            out_specs += [b(3), b(1)]
+            out_shapes += [shp(3), shp(1)]
+    out_specs.append(acc((MR, WT)))
+    out_shapes.append(jax.ShapeDtypeStruct((MR, WT), f32))
 
     kern = partial(_bwd_kernel, layout, need_exit, L, n_tri)
-    outs = pl.pallas_call(
+    outs = list(pl.pallas_call(
         kern,
-        grid=(Rp // RAY_TILE,),
+        grid=(Rp // RT,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(*args)
-    d_oT, d_dT, d_pwrT, d_AT_, d_BT_, d_attr = outs[:6]
-    rest = outs[6:]
+    )(*args))
+
+    def rows(x):
+        """(C*8, W) component bundle -> (C, Rp) lane-major."""
+        return x.reshape(x.shape[0] // _SUBL, Rp)
+
+    d_oT, d_dT, d_pwrT, d_AT_, d_BT_ = [rows(x) for x in outs[:5]]
+    d_atE = rows(outs[5])
+    outs = outs[6:]
+    d_attr = _scatter_full(row[0], d_atE, P_pad)
+    if need_exit:
+        d_atX = rows(outs.pop(0))
+        d_attr = d_attr + _scatter_full(xrow[0], d_atX, P_pad)
     if n_tri:
-        d_AT_w, d_HT_w = rest[:2]
-        rest = rest[2:]
+        d_g3e, d_h3e = rows(outs.pop(0)), rows(outs.pop(0))
+        dg3 = _scatter_full(rt_e, d_g3e, Pt)
+        dh3 = _scatter_full(rt_e, d_h3e, Pt)
+        if need_exit:
+            d_g3x, d_h3x = rows(outs.pop(0)), rows(outs.pop(0))
+            dg3 = dg3 + _scatter_full(rt_x, d_g3x, Pt)
+            dh3 = dh3 + _scatter_full(rt_x, d_h3x, Pt)
+        z6 = jnp.zeros((Pt, 6), f32)
+        d_AT_w = jnp.concatenate([z6, dg3], axis=1)[:AT.shape[0]]
+        d_HT_w = jnp.concatenate([jnp.zeros((Pt, 2), f32), dh3],
+                                 axis=1)[:HT.shape[0]]
     else:
         d_AT_w, d_HT_w = jnp.zeros_like(AT), jnp.zeros_like(HT)
-    (d_misc,) = rest
+    (d_misc,) = outs
     dm = jnp.sum(d_misc, axis=1)
     d_lights = dm[:L * 11].reshape(L, 11) if L else jnp.zeros_like(lights)
     d_dk = dm[L * 11]
-    return (d_attr, d_lights, d_dk, d_oT.T[:R], d_dT.T[:R], d_pwrT[0, :R],
-            d_AT_.T[:R], d_BT_.T[:R], d_AT_w, d_HT_w)
+    return (d_attr, d_lights, d_dk, d_oT, d_dT, d_pwrT,
+            d_AT_, d_BT_, d_AT_w, d_HT_w)
 
 
 # --- differentiable wrapper -------------------------------------------------
@@ -784,65 +964,84 @@ _STEP_FNS: dict = {}
 
 
 def _get_step_fn(layout, need_exit, L):
+    """Custom-vjp bounce step on LANE-MAJOR carries (o/d/A/B (3,Rp),
+    pwr/live (1,Rp), u8 (8,Rp); Rp a multiple of `_TILE_PAD`). The scan in
+    `tracer.trace_fused` carries exactly these rows, so neither direction
+    pays per-step transposes."""
     key = (layout, need_exit, L)
     if key in _STEP_FNS:
         return _STEP_FNS[key]
 
     @jax.custom_vjp
-    def fn(consts, attr, lights, dk, o, d, pwr, live_f, A, B, u8):
+    def fn(consts, attr, lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8):
         return _call_step(layout, need_exit, L, consts, attr, lights, dk,
-                          o, d, pwr, live_f, A, B, u8)
+                          oT, dT, pwrT, liveT, AT_r, BT_r, u8)
 
-    def fn_fwd(consts, attr, lights, dk, o, d, pwr, live_f, A, B, u8):
+    def fn_fwd(consts, attr, lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
+               u8):
         out, resid = _call_step(layout, need_exit, L, consts, attr, lights,
-                                dk, o, d, pwr, live_f, A, B, u8, train=True)
+                                dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8,
+                                train=True)
         te, tx, row, xrow = resid[:4]
         lok = resid[4] if L else te  # placeholder when L == 0
-        R = o.shape[0]
-        pad = (-R) % RAY_TILE
-        if pad:
-            o_p = jnp.pad(o, ((0, pad), (0, 0)))
-            d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-            pwr_p = jnp.pad(pwr, ((0, pad),))
-            live_p = jnp.pad(live_f, ((0, pad),))
-            A_p = jnp.pad(A, ((0, pad), (0, 0)))
-            B_p = jnp.pad(B, ((0, pad), (0, 0)))
-            u8_p = jnp.pad(u8, ((0, 0), (0, pad)))
-        else:
-            o_p, d_p, pwr_p, live_p, A_p, B_p, u8_p = \
-                o, d, pwr, live_f, A, B, u8
-        res_lane = (o_p.T, d_p.T, pwr_p[None], live_p[None], A_p.T, B_p.T,
-                    u8_p, te, tx, row, xrow, lok)
-        res = (consts[6], consts[7], attr, lights, dk, res_lane, consts)
+        res_lane = (oT, dT, pwrT, liveT, AT_r, BT_r, u8,
+                    te, tx, row, xrow, lok)
+        res = (attr, lights, dk, res_lane, consts)
         return out, res
 
     def fn_bwd(res, cts):
-        AT, HT, attr, lights, dk, res_lane, consts = res
+        attr, lights, dk, res_lane, consts = res
+        AT, HT = consts[6], consts[7]
         ct = (cts[0], cts[1], cts[2], cts[4], cts[5])  # live2 ct dropped
-        (d_attr, d_lights, d_dk, d_o, d_d, d_pwr, d_A, d_B,
+        (d_attr, d_lights, d_dk, d_oT, d_dT, d_pwrT, d_AT_r, d_BT_r,
          d_AT, d_HT) = _call_step_bwd(layout, need_exit, L, AT, HT, attr,
                                       lights, dk, res_lane, ct)
         d_consts = (jnp.zeros_like(consts[0]), jnp.zeros_like(consts[1]),
                     jnp.zeros_like(consts[2]), jnp.zeros_like(consts[3]),
                     jnp.zeros_like(consts[4]), jnp.zeros_like(consts[5]),
-                    d_AT[:AT.shape[0]][:consts[6].shape[0]],
-                    d_HT[:HT.shape[0]][:consts[7].shape[0]],
-                    jnp.zeros_like(consts[8]))
-        live_ct = jnp.zeros(d_pwr.shape, d_pwr.dtype)
-        u8_ct = jnp.zeros((8, d_pwr.shape[0]), d_pwr.dtype)
-        return (d_consts, d_attr[:attr.shape[0]], d_lights, d_dk,
-                d_o, d_d, d_pwr, live_ct, d_A, d_B, u8_ct)
+                    d_AT, d_HT, jnp.zeros_like(consts[8]))
+        live_ct = jnp.zeros_like(d_pwrT)
+        u8_ct = jnp.zeros((8, d_pwrT.shape[1]), d_pwrT.dtype)
+        return (d_consts, d_attr, d_lights, d_dk,
+                d_oT, d_dT, d_pwrT, live_ct, d_AT_r, d_BT_r, u8_ct)
 
     fn.defvjp(fn_fwd, fn_bwd)
     _STEP_FNS[key] = fn
     return fn
 
 
+def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8):
+    """Lane-major bounce step from pre-packed tables (the scan hot path).
+
+    ``rayT`` = (oT (3,Rp), dT (3,Rp), pwrT (1,Rp), liveT (1,Rp) f32);
+    returns (rayT2, A_T2, B_T2) with liveT2 as 0/1 floats.
+    """
+    oT, dT, pwrT, liveT = rayT
+    fn = _get_step_fn(_seg_layout(scene.kind_counts), scene.any_refract,
+                      scene.n_lights)
+    o2, d2, pwr2, live2, A2, B2 = fn(
+        consts, attr, lights, jnp.asarray(decay, jnp.float32),
+        oT, dT, pwrT, liveT, A_T, B_T, u8)
+    return (o2, d2, pwr2, live2), A2, B2
+
+
+def lane_pad(R):
+    """Rays are padded to a multiple of the largest step-kernel tile
+    (production batch sizes), or to a 128-lane multiple for small batches
+    — `_pick_tile` then shrinks the kernel tile to match."""
+    unit = _TILE_PAD if R >= _TILE_PAD else 128
+    return (-R) % unit
+
+
 def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
-    """One fused bounce step. ``ray`` = (o, d, pwr, live_bool); returns
-    (ray2, A2, B2, live2_bool) exactly like the jnp reference. Forward is
-    the bounce-step megakernel; backward is the sweep-free backward
-    megakernel (residual replay differentiated in-kernel)."""
+    """One fused bounce step (row-major convenience API, used by tests).
+
+    ``ray`` = (o, d, pwr, live_bool); returns (ray2, A2, B2, live2_bool)
+    exactly like the jnp reference. Forward is the bounce-step megakernel;
+    backward is the sweep-free backward megakernel (residual replay
+    differentiated in-kernel). The production path (`tracer.trace_fused`)
+    uses :func:`step_packed` to keep the scan carry lane-major.
+    """
     o, d, pwr, live = ray
     layout = _seg_layout(scene.kind_counts)
     tri_pack_ = tri_pack
@@ -852,8 +1051,19 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         tri_pack_ = intersect.triangle_pack(scene, frames)
     consts, attr, lights = pack_step(scene, frames, tri_pack_)
     u8 = jnp.concatenate([u.T, u_emit[None]], axis=0)
-    fn = _get_step_fn(layout, scene.any_refract, scene.n_lights)
-    o2, d2, pwr2, live2, A2, B2 = fn(
-        consts, attr, lights, jnp.asarray(decay, jnp.float32), o, d, pwr,
-        live.astype(jnp.float32), A, B, u8)
-    return (o2, d2, pwr2, live2 > 0.5), A2, B2, live2 > 0.5
+    R = o.shape[0]
+    pad = lane_pad(R)
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        pwr = jnp.pad(pwr, ((0, pad),))
+        live = jnp.pad(live, ((0, pad),))
+        A = jnp.pad(A, ((0, pad), (0, 0)))
+        B = jnp.pad(B, ((0, pad), (0, 0)))
+        u8 = jnp.pad(u8, ((0, 0), (0, pad)))
+    rayT = (o.T, d.T, pwr[None], live.astype(jnp.float32)[None])
+    rayT2, A2, B2 = step_packed(scene, consts, attr, lights, decay,
+                                rayT, A.T, B.T, u8)
+    o2, d2, pwr2, live2 = rayT2
+    return ((o2.T[:R], d2.T[:R], pwr2[0, :R], live2[0, :R] > 0.5),
+            A2.T[:R], B2.T[:R], live2[0, :R] > 0.5)

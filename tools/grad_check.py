@@ -1,0 +1,151 @@
+"""Backward-megakernel check: grads + timing, megakernel vs jnp path.
+
+Validates that the bounce-step megakernel's in-kernel backward (the
+component-form residual replay in ops/pallas_step.py) produces the same
+gradients as the jnp+pallas_hit3 route for every trainable scene leaf,
+then times both fwd+bwd paths at a production chunk. The estimator itself
+is the reference's (rt.rs:867-898 composed with rt.rs:966-992); both
+routes draw identical RNG streams, so gradients must agree to float
+reassociation.
+
+Usage:
+  python tools/grad_check.py [--platform cpu|env] [--scene CornellBox]
+                             [--chunk 131072] [--samples 4]
+Prints JSON lines: one per leaf (max abs/rel diff), one timing summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXAMPLES = "/root/reference/example"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default="env", choices=("cpu", "env"))
+    p.add_argument("--scene", default="CornellBox")
+    p.add_argument("--res", type=int, default=256,
+                   help="square render res for the validation pass")
+    p.add_argument("--chunk", type=int, default=131072,
+                   help="rays per call for the timing pass")
+    p.add_argument("--samples", type=int, default=4,
+                   help="fused samples per timed call")
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--skip-timing", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from micro_raytracer_tpu.models import schema
+    from micro_raytracer_tpu.models.compiler import (compile_camera,
+                                                     compile_scene)
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+    from micro_raytracer_tpu.ops import rng
+    from micro_raytracer_tpu.parallel import shard
+
+    with open(f"{EXAMPLES}/{args.scene}.json") as f:
+        cfg = schema.RenderConfig.from_json(json.load(f))
+    scene = compile_scene(cfg.scene)
+    cam = compile_camera(cfg.frame.cam)
+    bounce = cfg.rt.bounce
+    loss = jnp.float32(cfg.rt.loss)
+    wh = (args.res, args.res)
+    key = rng.make_key(7)
+
+    def grads_fn(n_rays, n_samples):
+        ys, xs = np.divmod(np.arange(n_rays, dtype=np.int64), wh[0])
+        coords = jnp.asarray(np.stack([xs % wh[0], ys % wh[1]], -1)
+                             .astype(np.float32))
+        params, _ = shard.split_params(scene)
+
+        def fwdbwd(params):
+            def loss_fn(pp):
+                s = shard.merge_params(scene, pp)
+
+                def body(i, acc):
+                    rad = trace_radiance(s, cam, wh, bounce, loss, coords,
+                                         jax.random.fold_in(key, i))
+                    return acc + jnp.mean(rad ** 2)
+
+                return jax.lax.fori_loop(0, n_samples, body, 0.0)
+
+            return jax.grad(loss_fn)(params)
+
+        return params, fwdbwd
+
+    def run(env, n_rays, n_samples):
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            params, f = grads_fn(n_rays, n_samples)
+            jf = jax.jit(f)
+            g = jax.block_until_ready(jf(params))
+            times = []
+            if not args.skip_timing:
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    out = jax.block_until_ready(jf(params))
+                    leaf = jax.tree_util.tree_leaves(out)[0]
+                    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+                    times.append(time.perf_counter() - t0)
+            return jax.device_get(g), (min(times) if times else None)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    envs = {
+        "jnp": {"MRT_STEP": "0"},
+        "megakernel": {"MRT_STEP": "" if args.platform == "env" else "1",
+                       "MRT_STEP_GRAD": "1"},
+    }
+
+    # --- gradient agreement at a small chunk --------------------------------
+    n_val = 8192
+    g_ref, _ = run(envs["jnp"], n_val, 2)
+    g_new, _ = run(envs["megakernel"], n_val, 2)
+    worst = 0.0
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_new[k])
+        ad = float(np.max(np.abs(a - b))) if a.size else 0.0
+        scale = float(np.max(np.abs(a))) if a.size else 0.0
+        rel = ad / (scale + 1e-12)
+        worst = max(worst, rel if scale > 1e-6 else 0.0)
+        print(json.dumps({"leaf": k, "max_abs_diff": ad,
+                          "ref_scale": scale, "rel": round(rel, 6)}))
+    ok = worst < 5e-3
+    print(json.dumps({"grad_match": ok, "worst_rel": round(worst, 6)}))
+
+    # --- timing at production chunk ------------------------------------------
+    if not args.skip_timing:
+        _, t_ref = run(envs["jnp"], args.chunk, args.samples)
+        _, t_new = run(envs["megakernel"], args.chunk, args.samples)
+        paths = args.chunk * args.samples
+        print(json.dumps({
+            "chunk": args.chunk, "samples": args.samples,
+            "jnp_s": round(t_ref, 4), "megakernel_s": round(t_new, 4),
+            "jnp_rays_per_s": round(paths / t_ref, 1),
+            "megakernel_rays_per_s": round(paths / t_new, 1),
+            "speedup": round(t_ref / t_new, 3),
+        }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
