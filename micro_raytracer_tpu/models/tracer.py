@@ -312,8 +312,8 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
 
         if tri_pack is None and scene.kind_counts[_schema.KIND_TRIANGLE]:
             tri_pack = intersect.triangle_pack(scene, frames)
-        consts, attr, lights = pallas_step.pack_step(scene, frames,
-                                                     tri_pack)
+        consts, attr, lights, tex = pallas_step.pack_step(scene, frames,
+                                                          tri_pack)
         pad = pallas_step.lane_pad(R)
         o_p, d_p = orig, dirs
         if pad:
@@ -334,7 +334,8 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
             rayT, A_T, B_T, firstT = carry
             i, u8 = xs
             rayT2, A2, B2 = pallas_step.step_packed(
-                scene, consts, attr, lights, decay, rayT, A_T, B_T, u8)
+                scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
+                tex=tex)
             firstT = jnp.where(i == 0, rayT2[3], firstT)
             return (rayT2, A2, B2, firstT), None
 

@@ -18,10 +18,20 @@ counter-derived uniforms it would use itself), so the kernel's output is
 the same function of the same randomness as the jnp step: equivalence is
 testable, not statistical.
 
-Scope: untextured scenes (`has_maps` falls back to the split path — texel
-gathers don't belong in VMEM loops), up to 4 lights, scene rows bounded by
-the hit3 scratch. Semantics mirror
+Scope: up to 4 lights, scene rows bounded by the hit3 scratch, texture
+atlases up to 64K texels. Semantics mirror
 :func:`micro_raytracer_tpu.models.tracer.fused_step_reference` exactly.
+
+Textured scenes (seventh-generation): rt.rs:468-548's uv map and the
+rt.rs:618-628 nearest texel fetch run INSIDE the kernel — uv per kind
+(sphere needs a hand-rolled Cephes atan2; Mosaic lowers no atan), then a
+two-stage one-hot fetch from a VMEM-resident channel-planar atlas: one
+MXU dot against a one-hot over 128-texel blocks picks the ray's block,
+a sublane mask-reduce picks the texel. The atlas is stored as an exact
+bf16 hi+lo split so default-precision (bf16) matmuls reconstruct f32
+texels to ~2^-17 — no HIGHEST pass on the texture path. Texture scenes
+run the kernel for inference only (the backward megakernel carries no
+texel terms; training falls back to jnp+hit3).
 
 Differentiation (sixth-generation): the training forward runs a variant of
 the same kernel that additionally emits per-bounce *residuals* — the winner
@@ -59,6 +69,10 @@ except Exception:  # pragma: no cover
     _PALLAS = False
 
 _MAX_LIGHTS = 4
+# texture-path bounds: 128-texel atlas blocks kept in VMEM (512 blocks =
+# 64K texels = a 768 KB split table) and SMEM meta rows
+_MAX_TEX_BLOCKS = 512
+_MAX_TEXTURES = 16
 
 # Ray-tile sizes for the step kernels (lanes per grid program). The
 # backward kernel carries ~3x the live intermediates of the forward, and
@@ -101,11 +115,18 @@ def enabled_for(scene, inference: bool = False) -> bool:
     megakernel differentiates the step in-kernel). ``MRT_STEP_GRAD=0``
     keeps the megakernel for rendering only; ``MRT_STEP=0`` disables it
     entirely, ``MRT_STEP=1`` forces it (interpret mode off-TPU)."""
-    ok = (available() and scene.n_prims > 0 and not scene.has_maps
+    ok = (available() and scene.n_prims > 0
           and scene.n_lights <= _MAX_LIGHTS
           and _padded_rows(scene.kind_counts) <= pallas_hit3._MAX_SCRATCH_ROWS)
     if not ok:
         return False
+    if scene.has_maps:
+        # textured scenes run the kernel for INFERENCE only (the backward
+        # megakernel carries no texel terms; training falls back to the
+        # jnp+hit3 path) and only while the split atlas fits VMEM
+        n_blocks = -(-scene.tex_data.shape[0] // 128)
+        return (inference and n_blocks <= _MAX_TEX_BLOCKS
+                and scene.tex_offset.shape[0] <= _MAX_TEXTURES)
     if inference or os.environ.get("MRT_STEP", "") == "1":
         return True
     # training default-on: the component-form backward megakernel matches
@@ -116,15 +137,44 @@ def enabled_for(scene, inference: bool = False) -> bool:
             and _padded_rows(scene.kind_counts) <= _MAX_GRAD_ROWS)
 
 
-# ATTR column layout (P_pad, 24)
+# ATTR column layout (P_pad, 24); textured scenes append 6 map-id
+# columns (+2 pad) at _C_MAP for a 32-column table
 _C_FR, _C_IP, _C_NA, _C_PR = 0, 9, 12, 15
 _C_ALB, _C_RGH, _C_MET, _C_GLS, _C_OPA, _C_EMI = 16, 19, 20, 21, 22, 23
 _NCOL = 24
+_C_MAP = 24
+
+
+def _pack_tex(scene):
+    """Channel-planar split texture atlas for the in-kernel fetch.
+
+    Returns ``(TEXT (768, Thp) f32, meta (T, 3) int32)``: the flat atlas
+    padded to ``Th = ceil(N/128)`` blocks of 128 texels; row ``c*128+j``
+    of TEXT holds the bf16-rounded channel ``c`` of texel ``h*128+j`` at
+    column ``h``, rows 384+ the bf16 residual (texel = hi + lo exactly to
+    ~2^-17, so the kernel's default-precision bf16 matmuls lose nothing
+    visible). ``meta`` rows are (offset, w, h) per texture, read from
+    SMEM in the kernel.
+    """
+    td = scene.tex_data                                     # (N, 3)
+    N = td.shape[0]
+    Th = -(-N // 128)
+    Thp = -(-Th // 128) * 128
+    tdp = jnp.pad(td, ((0, Th * 128 - N), (0, 0)))
+    plan = tdp.reshape(Th, 128, 3).transpose(2, 1, 0).reshape(384, Th)
+    hi = plan.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (plan - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    TEXT = jnp.pad(jnp.concatenate([hi, lo], axis=0),
+                   ((0, 0), (0, Thp - Th)))
+    meta = jnp.stack([scene.tex_offset, scene.tex_w, scene.tex_h],
+                     axis=1).astype(jnp.int32)              # (T, 3)
+    return TEXT, meta
 
 
 def pack_step(scene, frames, tri_pack):
     """Sweep tables (pallas_hit3.pack_scene) + the packed attribute matrix
-    + the light table. All differentiable leaves flow through."""
+    + the light table + the split texture atlas (None for untextured
+    scenes). All differentiable leaves flow through."""
     consts = pallas_hit3.pack_scene(scene, frames, tri_pack)
     P = scene.n_prims
     m = scene.mat_id
@@ -140,12 +190,18 @@ def pack_step(scene, frames, tri_pack):
                            e0[:, 2] * e1[:, 0] - e0[:, 0] * e1[:, 2],
                            e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0]], -1)
         na = jnp.concatenate([na[:s.start], n_raw], axis=0)
-    attr = jnp.concatenate([
+    cols = [
         frames.reshape(P, 9), scene.inst_pos, na, scene.prim_r[:, None],
         scene.mat_albedo[m], scene.mat_rough[m][:, None],
         scene.mat_metal[m][:, None], scene.mat_glass[m][:, None],
         scene.mat_opacity[m][:, None], scene.mat_emit[m][:, None],
-    ], axis=1)
+    ]
+    tex = None
+    if scene.has_maps:
+        cols += [scene.mat_maps[m].astype(jnp.float32),  # exact: small ints
+                 jnp.zeros((P, 2), jnp.float32)]
+        tex = _pack_tex(scene)
+    attr = jnp.concatenate(cols, axis=1)
     P_pad = consts[5].shape[0]  # gid is padded over the tri region
     if attr.shape[0] < P_pad:
         attr = jnp.pad(attr, ((0, P_pad - attr.shape[0]), (0, 0)))
@@ -160,7 +216,7 @@ def pack_step(scene, frames, tri_pack):
             scene.light_pwr[:, None], scene.light_color], axis=1)  # (L, 11)
     else:
         lights = jnp.zeros((1, 11), jnp.float32)
-    return consts, attr, lights
+    return consts, attr, lights, tex
 
 
 def _rows3(att, c):
@@ -225,6 +281,147 @@ def _normal_rows(layout, att, p, row):
     return jnp.where(jnp.isfinite(n), n, 0.0)
 
 
+_PI = 3.14159265358979323846
+
+
+def _atan_rows(x):
+    """atan for x >= 0, Cephes ``atanf`` range reduction + degree-4
+    minimax polynomial (~2 ulp). Mosaic has no atan/atan2 lowering; the
+    sphere uv (rt.rs:518-526) needs one in-kernel."""
+    big = x > 2.414213562373095
+    mid = x > 0.4142135623730950
+    xs = jnp.maximum(x, 1e-30)
+    r = jnp.where(big, -1.0 / xs, jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    z = r * r
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1) * z * r + r
+    return p + jnp.where(big, _PI / 2, jnp.where(mid, _PI / 4, 0.0))
+
+
+def _atan2_rows(y, x):
+    """Four-quadrant atan2 on row vectors (atan2(0,0) = 0 like XLA's)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    a = _atan_rows(ay / jnp.maximum(ax, 1e-37))
+    a = jnp.where(x < 0.0, _PI - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _uv_rows(layout, att, p, row):
+    """Texture coordinates from fetched attribute rows (rt.rs:468-548),
+    mirroring intersect.uv_from_attrs: sphere spherical map, plane
+    negative-wrap fract tiling, box 4x3 cross atlas, triangles 0."""
+    segs, tri_start, n_tri = layout
+    ip = _rows3(att, _C_IP)
+    hp = ip + _matvec_rows(att, p - ip)
+    rel = hp - ip
+    # sphere: unguarded normalize, like the jnp path (degenerate lanes
+    # produce garbage uv on both sides; inference-only so no NaN-grad risk)
+    inv = jax.lax.rsqrt(jnp.maximum(_dot3(rel, rel), 1e-37))
+    u_sph = 0.5 + 0.5 * _atan2_rows(rel[0:1] * inv, -(rel[1:2] * inv)) / _PI
+    v_sph = 0.5 - 0.5 * (rel[2:3] * inv)
+    # plane: fract with negative wrap (rt.rs:528-542)
+    fx = (hp[0:1] + 0.5) - jnp.trunc(hp[0:1] + 0.5)
+    fy = (hp[1:2] + 0.5) - jnp.trunc(hp[1:2] + 0.5)
+    u_pln = jnp.where(fx < 0, 1.0 + fx, fx)
+    v_pln = jnp.where(fy < 0, 1.0 + fy, fy)
+    # box cross atlas (rt.rs:468-515); pa rows hold the box sizes
+    pa = _rows3(att, _C_NA)
+    sizes = jnp.where(pa == 0.0, 1.0, pa)
+    q = rel * (2.0 / sizes)
+    qx, qy, qz = q[0:1], q[1:2], q[2:3]
+    faces = [  # (cond_axis, cond_target, u, v) in rt.rs test order
+        (qx, 1.0, (0.5 + 0.5 * qy) / 4.0 + 2.0 / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qx, -1.0, (0.5 - 0.5 * qy) / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qy, 1.0, (0.5 - 0.5 * qx) / 4.0 + 3.0 / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qy, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qz, 1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+         (0.5 - 0.5 * qy) / 3.0),
+        (qz, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+         (0.5 + 0.5 * qy) / 3.0 + 2.0 / 3.0),
+    ]
+    zero = jnp.zeros_like(qx)
+    u_box, v_box = zero, zero
+    for axis, target, uu, vv in reversed(faces):
+        c = jnp.abs(axis - target) < EPS
+        u_box = jnp.where(c, uu, u_box)
+        v_box = jnp.where(c, vv, v_box)
+    u_out, v_out = zero, zero  # triangles: uv = 0 (reference todo!())
+    bounds = [(kind, s + c) for kind, s, c in segs]
+    for kind, end in reversed(bounds):
+        uk, vk = {schema.KIND_SPHERE: (u_sph, v_sph),
+                  schema.KIND_PLANE: (u_pln, v_pln),
+                  schema.KIND_BOX: (u_box, v_box)}[kind]
+        u_out = jnp.where(row < end, uk, u_out)
+        v_out = jnp.where(row < end, vk, v_out)
+    return u_out, v_out
+
+
+def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
+    """Nearest-neighbor texel fetch inside the kernel (rt.rs:618-628).
+
+    ``TEXT`` is the channel-planar split atlas from :func:`pack_step`:
+    rows [c*128+j] hold bf16-rounded channel c of texel ``h*128+j`` at
+    block column h, rows [384+...] the bf16 residual. The flat texel
+    index splits as hi=idx>>7 / lo=idx&127; stage 1 fetches the ray's
+    128-texel block with one MXU dot against a one-hot over blocks
+    (both operands bf16-exact, so the two-term sum reconstructs f32
+    texels to ~2^-17 without a HIGHEST-precision pass), stage 2 selects
+    within the block by a sublane mask-reduce.
+    """
+    t = jnp.maximum(tid.astype(jnp.int32), 0)
+    zero_i = jnp.zeros_like(t)
+    off, w, h = zero_i, zero_i + 1, zero_i + 1
+    for k in range(T):  # texture shapes: a handful of SMEM scalars
+        sel = t == k
+        off = jnp.where(sel, meta[k, 0], off)
+        w = jnp.where(sel, meta[k, 1], w)
+        h = jnp.where(sel, meta[k, 2], h)
+    x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    idx = off + x + y * w
+    hi = idx // 128
+    lo = idx % 128
+    Thp = TEXT.shape[1]
+    RT = tid.shape[1]
+    C = 384 if rgb else 128
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
+          == hi).astype(jnp.float32)
+    dot = lambda rows: jax.lax.dot_general(
+        rows, oh, (((1,), (0,)), ((), ())))
+    blk = dot(TEXT[0:C]) + dot(TEXT[384:384 + C])
+    sel_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
+              == lo).astype(jnp.float32)
+    ch = [jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0, keepdims=True)
+          for c in range(3 if rgb else 1)]
+    return jnp.concatenate(ch, axis=0) if rgb else ch[0]
+
+
+def _apply_maps_rows(maps, TEXT, meta, att, u, v, alb, rgh, met, gls, opa,
+                     emi):
+    """Per-slot texture overrides (rt.rs:811-863): slot 0 multiplies
+    albedo by the texel RGB, slots 1-5 replace the scalar with the red
+    channel; a -1 map id leaves the base value. Absent slots (static
+    ``map_slots``) compile to nothing."""
+    slots, T = maps
+    tid = lambda s: att[_C_MAP + s:_C_MAP + s + 1]
+    if slots[0]:
+        tv = tid(0)
+        rgbv = _tex_sample_rows(TEXT, meta, T, tv, u, v, True)
+        alb = jnp.where(tv >= 0.0, alb * rgbv, alb)
+    outs = [rgh, met, gls, opa, emi]
+    for i, s in enumerate((1, 2, 3, 4, 5)):
+        if not slots[s]:
+            continue
+        tv = tid(s)
+        val = _tex_sample_rows(TEXT, meta, T, tv, u, v, False)
+        outs[i] = jnp.where(tv >= 0.0, val, outs[i])
+    return (alb, *outs)
+
+
 def _sphere_rand_rows(n, rough, u1, u2):
     ct = jnp.clip(1.0 - 2.0 * u1, -1.0, 1.0)
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
@@ -241,10 +438,12 @@ def _pow32(x):
     return x16 * x16
 
 
-def _step_kernel(layout, need_exit, L, train,
-                 fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, lights,
-                 dk_r, o_r, d_r, pwr_r, live_r, A_r, B_r, u_r,
-                 o2_o, d2_o, pwr2_o, live2_o, A2_o, B2_o, *rest):
+def _step_kernel(layout, need_exit, L, train, maps,
+                 fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, *rest_in):
+    if maps:
+        (text_r, tmeta), rest_in = rest_in[:2], rest_in[2:]
+    (lights, dk_r, o_r, d_r, pwr_r, live_r, A_r, B_r, u_r,
+     o2_o, d2_o, pwr2_o, live2_o, A2_o, B2_o, *rest) = rest_in
     if train:
         (te_o, tx_o, row_o, xrow_o), rest = rest[:4], rest[4:]
         if L:
@@ -281,9 +480,18 @@ def _step_kernel(layout, need_exit, L, train,
     n_e = _normal_rows(layout, atE, p_e, row)
     alb_e = _rows3(atE, _C_ALB)
     rgh_e = atE[_C_RGH:_C_RGH + 1]
-    met_e = atE[_C_MET:_C_MET + 1]
+    met_raw_e = atE[_C_MET:_C_MET + 1]
+    met_e = met_raw_e
     opa_e = atE[_C_OPA:_C_OPA + 1]
     emi_e = atE[_C_EMI:_C_EMI + 1]
+    if maps:
+        # texture overrides at the entry point; the dielectric test below
+        # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
+        u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
+        text = text_r[...]
+        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
+            maps, text, tmeta, atE, u_uv, v_uv,
+            alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
 
     # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
     # the light table lives in SMEM so components read as true scalars
@@ -315,7 +523,7 @@ def _step_kernel(layout, need_exit, L, train,
             lok_o[li:li + 1, :] = light_ok[li].astype(jnp.float32)
 
     # reflect from the entry hit (rt.rs:559-572)
-    diel_e = (met_e == 0.0) & (opa_e != 0.0)
+    diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
     rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
     nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
     refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
@@ -325,11 +533,22 @@ def _step_kernel(layout, need_exit, L, train,
         tx_f = jnp.where(live_i, tx, 1.0)
         p_x = o + d * tx_f
         n_x = _normal_rows(layout, atX, p_x, xrow)
-        diel_x = (atX[_C_MET:_C_MET + 1] == 0.0) & (atX[_C_OPA:_C_OPA + 1] != 0.0)
-        rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0,
-                            atX[_C_RGH:_C_RGH + 1])
+        alb_x = _rows3(atX, _C_ALB)
+        rgh_x = atX[_C_RGH:_C_RGH + 1]
+        met_raw_x = atX[_C_MET:_C_MET + 1]
+        met_x = met_raw_x
+        gls_x = atX[_C_GLS:_C_GLS + 1]
+        opa_x = atX[_C_OPA:_C_OPA + 1]
+        emi_x = atX[_C_EMI:_C_EMI + 1]
+        if maps:
+            ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow)
+            alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_rows(
+                maps, text, tmeta, atX, ux_uv, vx_uv,
+                alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
+        diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
+        rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0, rgh_x)
         nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
-        eta = 1.0 + 0.5 * atX[_C_GLS:_C_GLS + 1]
+        eta = 1.0 + 0.5 * gls_x
         cos = -_dot3(nf, d)
         kk = 1.0 - eta * eta * (1.0 - cos * cos)
         refr_ok = kk >= 0.0
@@ -341,10 +560,10 @@ def _step_kernel(layout, need_exit, L, train,
         next_dir = jnp.where(choose, refr, refl)
         from_p = jnp.where(choose, p_x, p_e)
         norm_c = jnp.where(choose, n_x, n_e)
-        alb_c = jnp.where(choose, _rows3(atX, _C_ALB), alb_e)
-        rgh_c = jnp.where(choose, atX[_C_RGH:_C_RGH + 1], rgh_e)
-        met_c = jnp.where(choose, atX[_C_MET:_C_MET + 1], met_e)
-        emi_c = jnp.where(choose, atX[_C_EMI:_C_EMI + 1], emi_e)
+        alb_c = jnp.where(choose, alb_x, alb_e)
+        rgh_c = jnp.where(choose, rgh_x, rgh_e)
+        met_c = jnp.where(choose, met_x, met_e)
+        emi_c = jnp.where(choose, emi_x, emi_e)
     else:
         next_dir, from_p, norm_c = refl, p_e, n_e
         alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
@@ -382,11 +601,15 @@ def _step_kernel(layout, need_exit, L, train,
 
 
 def _call_step(layout, need_exit, L, consts, attr, lights, decay,
-               oT, dT, pwrT, liveT, AT_r, BT_r, u8, train=False):
+               oT, dT, pwrT, liveT, AT_r, BT_r, u8, train=False,
+               tex=None, maps=None):
     """One kernel invocation on LANE-MAJOR inputs (o/d/A/B as (3, Rp),
     pwr/live as (1, Rp), Rp a multiple of the ray tile). Padding and
     orientation live with the caller so the bounce scan carries dense
-    lane-major rows with no per-step transposes."""
+    lane-major rows with no per-step transposes. ``tex``/``maps`` enable
+    the in-kernel texture path (inference only — the backward megakernel
+    carries no texel terms)."""
+    assert (tex is None) == (maps is None) and not (train and tex)
     fr, ipos, pa, pr, valid, gid, AT, HT, thr = consts
     AT = pallas_tri._pad_p(AT)
     HT = pallas_tri._pad_p(HT)
@@ -421,20 +644,25 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         if L:
             out_shapes.append(jax.ShapeDtypeStruct((L, Rp), f32))
             out_specs.append(pl.BlockSpec((L, RT), lambda i: (0, i)))
-    kern = partial(_step_kernel, layout, need_exit, L, train)
+    kern = partial(_step_kernel, layout, need_exit, L, train, maps)
+    tex_specs, tex_args = [], []
+    if tex is not None:
+        TEXT, meta = tex
+        tex_specs = [cspec(TEXT), smem]
+        tex_args = [TEXT, meta]
     outs = pl.pallas_call(
         kern,
         grid=(Rp // RT,),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
-                  cspec(gid), cspec(AT), cspec(HT), cspec(thr), cspec(attr),
-                  smem, smem,
-                  r3, r3, r1, r1, r3, r3, r8],
+                  cspec(gid), cspec(AT), cspec(HT), cspec(thr), cspec(attr)]
+                 + tex_specs
+                 + [smem, smem, r3, r3, r1, r1, r3, r3, r8],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
-    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, lights, dk,
-      oT, dT, pwrT, liveT, AT_r, BT_r, u8)
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, *tex_args,
+      lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8)
     if not train:
         return outs
     return outs[:6], outs[6:]
@@ -1010,18 +1238,27 @@ def _get_step_fn(layout, need_exit, L):
     return fn
 
 
-def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8):
+def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
+                tex=None):
     """Lane-major bounce step from pre-packed tables (the scan hot path).
 
     ``rayT`` = (oT (3,Rp), dT (3,Rp), pwrT (1,Rp), liveT (1,Rp) f32);
-    returns (rayT2, A_T2, B_T2) with liveT2 as 0/1 floats.
+    returns (rayT2, A_T2, B_T2) with liveT2 as 0/1 floats. With ``tex``
+    (textured scenes) the call is inference-only — no custom VJP.
     """
     oT, dT, pwrT, liveT = rayT
-    fn = _get_step_fn(_seg_layout(scene.kind_counts), scene.any_refract,
-                      scene.n_lights)
-    o2, d2, pwr2, live2, A2, B2 = fn(
-        consts, attr, lights, jnp.asarray(decay, jnp.float32),
-        oT, dT, pwrT, liveT, A_T, B_T, u8)
+    layout = _seg_layout(scene.kind_counts)
+    if tex is not None:
+        maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
+        o2, d2, pwr2, live2, A2, B2 = _call_step(
+            layout, scene.any_refract, scene.n_lights, consts, attr,
+            lights, jnp.asarray(decay, jnp.float32),
+            oT, dT, pwrT, liveT, A_T, B_T, u8, tex=tex, maps=maps)
+    else:
+        fn = _get_step_fn(layout, scene.any_refract, scene.n_lights)
+        o2, d2, pwr2, live2, A2, B2 = fn(
+            consts, attr, lights, jnp.asarray(decay, jnp.float32),
+            oT, dT, pwrT, liveT, A_T, B_T, u8)
     return (o2, d2, pwr2, live2), A2, B2
 
 
@@ -1049,7 +1286,7 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         from . import intersect
 
         tri_pack_ = intersect.triangle_pack(scene, frames)
-    consts, attr, lights = pack_step(scene, frames, tri_pack_)
+    consts, attr, lights, tex = pack_step(scene, frames, tri_pack_)
     u8 = jnp.concatenate([u.T, u_emit[None]], axis=0)
     R = o.shape[0]
     pad = lane_pad(R)
@@ -1063,7 +1300,7 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         u8 = jnp.pad(u8, ((0, 0), (0, pad)))
     rayT = (o.T, d.T, pwr[None], live.astype(jnp.float32)[None])
     rayT2, A2, B2 = step_packed(scene, consts, attr, lights, decay,
-                                rayT, A.T, B.T, u8)
+                                rayT, A.T, B.T, u8, tex=tex)
     o2, d2, pwr2, live2 = rayT2
     return ((o2.T[:R], d2.T[:R], pwr2[0, :R], live2[0, :R] > 0.5),
             A2.T[:R], B2.T[:R], live2[0, :R] > 0.5)

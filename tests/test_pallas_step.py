@@ -39,7 +39,29 @@ def scenes():
         "light": [{"type": "point", "pos": [0, -1, 1], "pwr": 0.6}],
         "sky": {"color": [0.2, 0.3, 0.4], "pwr": 0.5},
     }
-    return {"opaque": opaque, "glass": glass}
+    tex1 = {"w": 4, "h": 4,
+            "dat": rng.uniform(0, 1, (16, 3)).round(3).tolist()}
+    tex2 = {"w": 8, "h": 2,
+            "dat": rng.uniform(0, 1, (16, 3)).round(3).tolist()}
+    emap = {"w": 4, "h": 1,
+            "dat": [[0.1, 0, 0], [0.4, 0, 0], [0.7, 0, 0], [0.95, 0, 0]]}
+    textured = {
+        "renderer": [
+            {"type": "sphere", "r": 0.5, "pos": [0.3, 0.2, 0],
+             "mat": {"tex": tex1, "rough": 0.4}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.8],
+             "mat": {"tex": tex2, "emap": emap}},
+            {"type": "box", "sizes": [0.4, 0.5, 0.6], "pos": [-0.6, 0.8, 0],
+             "dir": [0, 0.5, 0.5, 0.1],
+             "mat": {"tex": tex2, "rmap": emap, "omap": tex1,
+                     "glass": 0.1}},
+            {"type": "mesh", "mesh": tris[:4].tolist(), "pos": [0.9, -0.4, 0],
+             "mat": {"tex": tex1}},
+        ],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.6}],
+        "sky": {"color": [0.15, 0.2, 0.3], "pwr": 0.5},
+    }
+    return {"opaque": opaque, "glass": glass, "textured": textured}
 
 
 def state(scene, n=256, seed=0):
@@ -56,7 +78,7 @@ def state(scene, n=256, seed=0):
     return (o, d, pwr, live), A, B, u, u_emit
 
 
-@pytest.mark.parametrize("which", ["opaque", "glass"])
+@pytest.mark.parametrize("which", ["opaque", "glass", "textured"])
 def test_step_kernel_matches_reference(which, monkeypatch):
     monkeypatch.setenv("MRT_STEP", "1")
     monkeypatch.setenv("MRT_HIT3", "0")   # reference side stays dense
@@ -112,18 +134,22 @@ def test_step_kernel_vjp_matches_reference(monkeypatch):
     np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-6)
 
 
-def test_step_kernel_full_trace_matches(monkeypatch):
+@pytest.mark.parametrize("which", ["glass", "textured"])
+def test_step_kernel_full_trace_matches(which, monkeypatch):
     from micro_raytracer_tpu.models.tracer import trace_radiance
 
-    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()[which]))
     cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
     xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
     coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
     key = jax.random.PRNGKey(9)
 
     def run():
+        # inference=True: textured scenes enable the kernel only on the
+        # rendering path (no texel terms in the backward megakernel)
         return np.asarray(trace_radiance(scene, cam, (64, 64), 3,
-                                         jnp.float32(0.15), coords, key))
+                                         jnp.float32(0.15), coords, key,
+                                         inference=True))
 
     monkeypatch.setenv("MRT_STEP", "0")
     a = run()
