@@ -149,13 +149,25 @@ def _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d):
 
 
 def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
-                  AT, HT, thr, o, d, tx_s):
+                  AT, HT, thr, o, d, tx_s, tbb=None, live=None):
     """In-kernel closest-hit sweep over every kind segment.
 
     ``o``/``d`` are (3, RT) lane-major rows; returns (te, row, wg, tx, xrow)
     as (1, RT) values. Shared by the hit kernel and the bounce-step
     megakernel (pallas_step). ``tx_s`` is the (P_pad, RT) exit scratch,
     only written when ``need_exit``.
+
+    ``tbb`` (optional, entry-only sweeps): the super-block AABB table from
+    :func:`_tri_superbounds`. Each group of ``_SUPER`` triangle blocks runs
+    under a ``lax.cond`` on a tile-wide slab test — if no ray in the tile
+    can touch the super's AABB, its 128 triangles are skipped wholesale.
+    Exit sweeps never cull: the exit pass re-reads the per-block ``tx_s``
+    stash, which skipped blocks would leave stale.
+
+    ``live`` (optional (1, RT) bool): lanes whose sweep result the caller
+    masks away anyway (dead bounce-scan rays carry garbage directions);
+    excluding them from the slab test is what makes culling bite at high
+    bounce depth, where most of a tile is dead.
     """
     segs, tri_start, n_tri = layout
     RT = o.shape[1]
@@ -205,7 +217,44 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                     jnp.where(upd, bg, g_best))
 
         n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
-        carry = jax.lax.fori_loop(0, n_blocks, tri_body, carry)
+        cull = (tbb is not None and not need_exit and n_blocks > _SUPER)
+        if not cull:
+            carry = jax.lax.fori_loop(0, n_blocks, tri_body, carry)
+        else:
+            n_sup = (n_blocks + _SUPER - 1) // _SUPER
+            invd = [1.0 / jnp.where(d[k:k + 1, :] == 0.0, EPS, d[k:k + 1, :])
+                    for k in range(3)]
+
+            def sup_body(sb, carry):
+                tb = tbb[pl.ds(sb, 1), :]               # (1, 8)
+                tmin = None
+                tmax = None
+                for k in range(3):
+                    t1 = (tb[0:1, k:k + 1] - o[k:k + 1, :]) * invd[k]
+                    t2 = (tb[0:1, 3 + k:4 + k] - o[k:k + 1, :]) * invd[k]
+                    near = jnp.minimum(t1, t2)
+                    far = jnp.maximum(t1, t2)
+                    tmin = near if tmin is None else jnp.maximum(tmin, near)
+                    tmax = far if tmax is None else jnp.minimum(tmax, far)
+                # a super whose AABB starts beyond the lane's current best
+                # can't improve the min — and occlusion lanes that already
+                # found any hit (t_best < BIG) stop asking for more work
+                touch = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= carry[0])
+                if live is not None:
+                    touch &= live
+                any_hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
+
+                def run(c):
+                    def blk(j, c2):
+                        # tail supers clamp to the last block: min-reduces
+                        # are idempotent, so re-testing it is harmless
+                        b = jnp.minimum(sb * _SUPER + j, n_blocks - 1)
+                        return tri_body(b, c2)
+                    return jax.lax.fori_loop(0, _SUPER, blk, c)
+
+                return jax.lax.cond(any_hit, run, lambda c: c, carry)
+
+            carry = jax.lax.fori_loop(0, n_sup, sup_body, carry)
 
     te, row, wg = carry
     row = jnp.where(row == _BIGI, 0, row)
@@ -245,26 +294,93 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
     return te, row, wg, tx_best, jnp.where(x_best == _BIGI, 0, x_best)
 
 
-def _hit_kernel(layout, need_exit,
-                fr, ipos, pa, pr, valid, gid, AT, HT, thr, o_r, d_r,
-                te_o, row_o, tx_o, xrow_o, tx_s):
+def _hit_kernel(layout, need_exit, has_tbb, *refs):
+    refs = list(refs)
+    (fr, ipos, pa, pr, valid, gid, AT, HT, thr) = refs[:9]
+    refs = refs[9:]
+    tbb = refs.pop(0) if has_tbb else None
+    o_r, d_r, te_o, row_o, tx_o, xrow_o, tx_s = refs
     te, row, _, tx, xrow = sweep_closest(
         layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-        o_r[...], d_r[...], tx_s)
+        o_r[...], d_r[...], tx_s, tbb=tbb)
     te_o[...] = te
     row_o[...] = row
     tx_o[...] = tx
     xrow_o[...] = xrow
 
 
+# Triangle-culling granularity: prim-blocks (8 tris) per super-block.
+# Morton ordering (compiler._morton_order) makes consecutive blocks
+# spatially tight, so one conservative world-space AABB covers a
+# 128-triangle chunk well. Round 1's per-8-tri lax.cond lost to its own
+# overhead (BASELINE.md); 16 blocks per cond amortizes the branch 16x.
+_SUPER = int(os.environ.get("MRT_TRI_SUPER", "16"))
+
+
+def _tri_superbounds(scene, frames):
+    """World-space AABBs of Morton-contiguous triangle super-blocks.
+
+    Triangle vertices are stored in object space (the ray is mapped into
+    the instance frame, rt.rs:729-732); the world vertex inverts that map:
+    ``wv = ip + M^-1 (v - ip)``. The 3x3 inverse is the cross-product
+    adjugate over columns — elementwise math, no MXU truncation. Returns
+    ``(n_sup_padded, 8)`` rows ``[lo3 | hi3 | 0 0]``; padded/degenerate
+    rows get an empty AABB (lo=+BIG, hi=-BIG) so their supers never pass
+    the slab test, and non-finite bounds fall back to an always-tested
+    AABB rather than silently culling real geometry.
+    """
+    s = scene.seg(schema.KIND_TRIANGLE)
+    M = frames[s]                                       # (Pt,3,3)
+    ip = scene.inst_pos[s]
+    valid = scene.prim_valid[s]
+    c0, c1, c2 = M[:, :, 0], M[:, :, 1], M[:, :, 2]     # columns
+    r0 = jnp.cross(c1, c2)
+    r1 = jnp.cross(c2, c0)
+    r2 = jnp.cross(c0, c1)
+    det = jnp.sum(c0 * r0, axis=-1, keepdims=True)
+    det = jnp.where(det == 0.0, 1.0, det)
+    span = _SUPER * PRIM_BLOCK
+    big = jnp.float32(_BIG)
+    ws = []
+    for v in (scene.prim_a[s], scene.prim_b[s], scene.prim_c[s]):
+        rel = v - ip
+        wv = ip + jnp.stack([jnp.sum(r0 * rel, -1), jnp.sum(r1 * rel, -1),
+                             jnp.sum(r2 * rel, -1)], axis=-1) / det
+        ws.append(wv)
+    W = jnp.stack(ws, 0)                                # (3, Pt, 3)
+    lo = jnp.where(valid[None, :, None], W, big)
+    hi = jnp.where(valid[None, :, None], W, -big)
+    Pt = lo.shape[1]
+    pad = (-Pt) % span
+    lo = jnp.pad(lo, ((0, 0), (0, pad), (0, 0)), constant_values=big)
+    hi = jnp.pad(hi, ((0, 0), (0, pad), (0, 0)), constant_values=-big)
+    n_sup = (Pt + pad) // span
+    lo = jnp.min(lo.reshape(3, n_sup, span, 3), axis=(0, 2))
+    hi = jnp.max(hi.reshape(3, n_sup, span, 3), axis=(0, 2))
+    eps = 1e-4 + 1e-4 * jnp.maximum(hi - lo, 0.0)       # slab float slack
+    lo, hi = lo - eps, hi + eps
+    bad = ~(jnp.isfinite(lo) & jnp.isfinite(hi))
+    lo = jnp.where(bad, -big, lo)
+    hi = jnp.where(bad, big, hi)
+    tbb = jnp.concatenate([lo, hi, jnp.zeros((n_sup, 2), jnp.float32)], 1)
+    if n_sup % 8:
+        empty = jnp.tile(jnp.asarray([[big] * 3 + [-big] * 3 + [0.0] * 2],
+                                     jnp.float32), ((-n_sup) % 8, 1))
+        tbb = jnp.concatenate([tbb, empty], axis=0)
+    return tbb
+
+
 def pack_scene(scene, frames, tri_pack):
     """Kernel constant tables from the compiled scene (all differentiable
-    leaves flow: fr <- inst_dir, AT/HT <- vertices+instances)."""
+    leaves flow: fr <- inst_dir, AT/HT <- vertices+instances). The last
+    entry is the stop-gradient triangle super-block AABB table (culling
+    metadata, None for tri-free scenes)."""
     P = scene.n_prims
     fr = frames.reshape(P, 9)
     valid = scene.prim_valid.astype(jnp.float32)[:, None]
     gid = scene.group_id.astype(jnp.float32)[:, None]
     n_tri = scene.kind_counts[schema.KIND_TRIANGLE]
+    tbb = None
     if n_tri:
         s = scene.seg(schema.KIND_TRIANGLE)
         AT, HT, thr = pallas_tri.pack_consts(tri_pack, scene.prim_valid[s])
@@ -272,6 +388,8 @@ def pack_scene(scene, frames, tri_pack):
         # thr=BIG, but the exit pass reads gid directly — pad with -3
         gid_all = jnp.concatenate(
             [gid[:s.start], _pad_p(gid[s.start:], fill=-3.0)], axis=0)
+        # culling is metadata, not semantics: keep gradients off its tables
+        tbb = jax.lax.stop_gradient(_tri_superbounds(scene, frames))
     else:
         # Mosaic rejects zero-row operands; a dummy sublane tile with
         # thr=BIG is never read (the kernel's tri loop is compiled out)
@@ -280,11 +398,11 @@ def pack_scene(scene, frames, tri_pack):
         thr = jnp.full((8, 1), _BIG, jnp.float32)
         gid_all = gid
     return (fr, scene.inst_pos, scene.prim_a, scene.prim_r[:, None],
-            valid, gid_all, AT, HT, thr)
+            valid, gid_all, AT, HT, thr, tbb)
 
 
 def _call_hit(layout, consts, o, d, need_exit):
-    fr, ipos, pa, pr, valid, gid, AT, HT, thr = consts
+    fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb = consts
     AT = _pad_p(AT)
     HT = _pad_p(HT)
     thr = _pad_p(thr, fill=_BIG)
@@ -300,19 +418,22 @@ def _call_hit(layout, consts, o, d, need_exit):
     def cspec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
-    kern = partial(_hit_kernel, layout, need_exit)
+    tbb_specs, tbb_args = [], []
+    if tbb is not None:
+        tbb_specs, tbb_args = [cspec(tbb)], [tbb]
+    kern = partial(_hit_kernel, layout, need_exit, tbb is not None)
     te, row, tx, xrow = pl.pallas_call(
         kern,
         grid=(Rp // RAY_TILE,),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
-                  cspec(gid), cspec(AT), cspec(HT), cspec(thr),
-                  _RAY_SPEC, _RAY_SPEC],
+                  cspec(gid), cspec(AT), cspec(HT), cspec(thr)]
+                 + tbb_specs + [_RAY_SPEC, _RAY_SPEC],
         out_specs=[_OUT_SPEC] * 4,
         out_shape=_out_shapes(Rp, 4),
         scratch_shapes=[pltpu.VMEM((max(scratch_rows, 8), RAY_TILE),
                                    jnp.float32)],
         interpret=_interpret(),
-    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, oT, dT)
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, oT, dT)
     return te[0, :R], row[0, :R], tx[0, :R], xrow[0, :R]
 
 
@@ -394,22 +515,20 @@ def _winner_t_all(layout, fr, ipos, pa, pr, AT, HT, o, d, row, want_exit):
 def make_closest_hit(layout):
     """Build the custom-vjp closest-hit for a static scene layout."""
 
-    @partial(jax.custom_vjp, nondiff_argnums=(9,))
-    def hit(fr, ipos, pa, pr, valid, gid, AT, HT, thr, need_exit, o, d):
-        return _call_hit(layout, (fr, ipos, pa, pr, valid, gid, AT, HT, thr),
-                         o, d, need_exit)
+    @partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def hit(consts, need_exit, o, d):
+        return _call_hit(layout, consts, o, d, need_exit)
 
-    def fwd(fr, ipos, pa, pr, valid, gid, AT, HT, thr, need_exit, o, d):
-        out = _call_hit(layout, (fr, ipos, pa, pr, valid, gid, AT, HT, thr),
-                        o, d, need_exit)
+    def fwd(consts, need_exit, o, d):
+        out = _call_hit(layout, consts, o, d, need_exit)
         te, row, tx, xrow = out
-        res = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, o, d, row, xrow,
+        res = (consts, o, d, row, xrow,
                te < _BIG * 0.5, tx > -_BIG * 0.5)
         return out, res
 
     def bwd(need_exit, res, cts):
-        (fr, ipos, pa, pr, valid, gid, AT, HT, thr, o, d, row, xrow,
-         hit_e, hit_x) = res
+        (consts, o, d, row, xrow, hit_e, hit_x) = res
+        fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb = consts
         ct_te = jnp.where(hit_e, cts[0], 0.0)
         ct_tx = jnp.where(hit_x & hit_e, cts[2], 0.0)
 
@@ -425,8 +544,10 @@ def make_closest_hit(layout):
 
         _, vjp = jax.vjp(f, fr, ipos, pa, pr, AT, HT, o, d)
         gfr, gip, gpa, gpr, gA, gH, go, gd = vjp((ct_te, ct_tx))
-        return (gfr, gip, gpa, gpr, jnp.zeros_like(valid),
-                jnp.zeros_like(gid), gA, gH, jnp.zeros_like(thr), go, gd)
+        d_consts = (gfr, gip, gpa, gpr, jnp.zeros_like(valid),
+                    jnp.zeros_like(gid), gA, gH, jnp.zeros_like(thr),
+                    None if tbb is None else jnp.zeros_like(tbb))
+        return (d_consts, go, gd)
 
     hit.defvjp(fwd, bwd)
     return hit
@@ -445,7 +566,7 @@ def closest_hit(scene, frames, orig, dirs, need_exit=True, tri_pack=None):
     if tri_pack is None and layout[2]:
         tri_pack = intersect.triangle_pack(scene, frames)
     consts = pack_scene(scene, frames, tri_pack)
-    te, row, tx, xrow = _HIT_CACHE[layout](*consts, need_exit, orig, dirs)
+    te, row, tx, xrow = _HIT_CACHE[layout](consts, need_exit, orig, dirs)
     hit = te < _BIG * 0.5
     return intersect.HitInfo(hit=hit, t_entry=te, t_exit=tx,
                              idx_entry=row, idx_exit=xrow)

@@ -438,8 +438,12 @@ def _pow32(x):
     return x16 * x16
 
 
-def _step_kernel(layout, need_exit, L, train, maps,
-                 fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, *rest_in):
+def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
+                 fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest_in):
+    tbb = None
+    if has_tbb:
+        tbb, rest_in = rest_in[0], rest_in[1:]
+    attr, rest_in = rest_in[0], rest_in[1:]
     if maps:
         (text_r, tmeta), rest_in = rest_in[:2], rest_in[2:]
     (lights, dk_r, o_r, d_r, pwr_r, live_r, A_r, B_r, u_r,
@@ -449,6 +453,34 @@ def _step_kernel(layout, need_exit, L, train, maps,
         if L:
             lok_o, rest = rest[0], rest[1:]
     (tx_s,) = rest
+    dk = dk_r[0, 0]                                        # SMEM scalar
+
+    if not train and os.environ.get("MRT_STEP_SKIP", "1") == "1":
+        # whole-tile dead skip: once every lane in this ray tile has
+        # terminated, the step is the identity on everything the scan
+        # still reads (a=1, b=0 for dead lanes in the jnp reference, so
+        # A/B pass through; pwr still decays; o/d values are garbage on
+        # both paths and feed nothing live). Sky-heavy scenes kill most
+        # paths in the first bounce or two — those tiles skip the sweeps
+        # and the entire shading body for the remaining bounces.
+        alive = jnp.max(live_r[...]) > 0.0
+
+        # dead-lane passthrough written unconditionally (cheap copies);
+        # the live body overwrites it — one scf.if region instead of two
+        pwr0 = pwr_r[...]
+        o2_o[...] = o_r[...]
+        d2_o[...] = d_r[...]
+        pwr2_o[...] = pwr0 * dk
+        live2_o[...] = jnp.zeros_like(pwr0)
+        A2_o[...] = A_r[...]
+        B2_o[...] = B_r[...]
+
+        body_gate = pl.when(alive)
+    else:
+        def body_gate(f):
+            return f()
+
+    # hoist every input-window read out of the conditional region
     o = o_r[...]
     d = d_r[...]
     pwr = pwr_r[...]
@@ -456,148 +488,150 @@ def _step_kernel(layout, need_exit, L, train, maps,
     A = A_r[...]
     B = B_r[...]
     u = u_r[...]
-    dk = dk_r[0, 0]                                        # SMEM scalar
-    RT = o.shape[1]
-    P_pad = attr.shape[0]
-    hp_prec = jax.lax.Precision.HIGHEST
 
-    te, row, _, tx, xrow = pallas_hit3.sweep_closest(
-        layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-        o, d, tx_s)
-    hit = te < _BIG * 0.5
-    live_i = live & hit
+    @body_gate
+    def _step_body():
+        RT = o.shape[1]
+        P_pad = attr.shape[0]
+        hp_prec = jax.lax.Precision.HIGHEST
 
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
+        te, row, _, tx, xrow = pallas_hit3.sweep_closest(
+            layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
+            o, d, tx_s, tbb=tbb, live=live)
+        hit = te < _BIG * 0.5
+        live_i = live & hit
 
-    def fetch(r):
-        oh = (iota_rows == r).astype(jnp.float32)           # (P_pad, RT)
-        return jax.lax.dot_general(attr[...], oh, (((0,), (0,)), ((), ())),
-                                   precision=hp_prec)       # (24, RT)
+        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
 
-    atE = fetch(row)
-    te_f = jnp.where(live_i, te, 1.0)
-    p_e = o + d * te_f
-    n_e = _normal_rows(layout, atE, p_e, row)
-    alb_e = _rows3(atE, _C_ALB)
-    rgh_e = atE[_C_RGH:_C_RGH + 1]
-    met_raw_e = atE[_C_MET:_C_MET + 1]
-    met_e = met_raw_e
-    opa_e = atE[_C_OPA:_C_OPA + 1]
-    emi_e = atE[_C_EMI:_C_EMI + 1]
-    if maps:
-        # texture overrides at the entry point; the dielectric test below
-        # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
-        u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
-        text = text_r[...]
-        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
-            maps, text, tmeta, atE, u_uv, v_uv,
-            alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
+        def fetch(r):
+            oh = (iota_rows == r).astype(jnp.float32)           # (P_pad, RT)
+            return jax.lax.dot_general(attr[...], oh, (((0,), (0,)), ((), ())),
+                                       precision=hp_prec)       # (24, RT)
 
-    # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
-    # the light table lives in SMEM so components read as true scalars
-    # (Mosaic cannot concatenate offset (1,1) vector slices)
-    def light_vec(li, p):
-        is_dir = lights[li, 6] > 0.5
-        return jnp.concatenate([
-            jnp.where(is_dir, lights[li, 3], lights[li, 0] - p[0:1]),
-            jnp.where(is_dir, lights[li, 4], lights[li, 1] - p[1:2]),
-            jnp.where(is_dir, lights[li, 5], lights[li, 2] - p[2:3])],
-            axis=0)
-
-    light_ok = []
-    for li in range(L):
-        lvec = light_vec(li, p_e)
-        ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
-        sorig = p_e + ln * EPS
-        te_s, _, _, _, _ = pallas_hit3.sweep_closest(
-            layout, False, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-            sorig, ln, tx_s)
-        light_ok.append((te_s >= _BIG * 0.5) & live_i)
-
-    if train:
-        te_o[...] = te
-        tx_o[...] = tx if need_exit else te
-        row_o[...] = row
-        xrow_o[...] = xrow if need_exit else row
-        for li in range(L):
-            lok_o[li:li + 1, :] = light_ok[li].astype(jnp.float32)
-
-    # reflect from the entry hit (rt.rs:559-572)
-    diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
-    rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
-    nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
-    refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
-
-    if need_exit:
-        atX = fetch(xrow)
-        tx_f = jnp.where(live_i, tx, 1.0)
-        p_x = o + d * tx_f
-        n_x = _normal_rows(layout, atX, p_x, xrow)
-        alb_x = _rows3(atX, _C_ALB)
-        rgh_x = atX[_C_RGH:_C_RGH + 1]
-        met_raw_x = atX[_C_MET:_C_MET + 1]
-        met_x = met_raw_x
-        gls_x = atX[_C_GLS:_C_GLS + 1]
-        opa_x = atX[_C_OPA:_C_OPA + 1]
-        emi_x = atX[_C_EMI:_C_EMI + 1]
+        atE = fetch(row)
+        te_f = jnp.where(live_i, te, 1.0)
+        p_e = o + d * te_f
+        n_e = _normal_rows(layout, atE, p_e, row)
+        alb_e = _rows3(atE, _C_ALB)
+        rgh_e = atE[_C_RGH:_C_RGH + 1]
+        met_raw_e = atE[_C_MET:_C_MET + 1]
+        met_e = met_raw_e
+        opa_e = atE[_C_OPA:_C_OPA + 1]
+        emi_e = atE[_C_EMI:_C_EMI + 1]
         if maps:
-            ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow)
-            alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_rows(
-                maps, text, tmeta, atX, ux_uv, vx_uv,
-                alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
-        diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
-        rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0, rgh_x)
-        nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
-        eta = 1.0 + 0.5 * gls_x
-        cos = -_dot3(nf, d)
-        kk = 1.0 - eta * eta * (1.0 - cos * cos)
-        refr_ok = kk >= 0.0
-        k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
-        refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
-        refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
-        choose = (u[6:7] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+            # texture overrides at the entry point; the dielectric test below
+            # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
+            u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
+            text = text_r[...]
+            alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
+                maps, text, tmeta, atE, u_uv, v_uv,
+                alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
 
-        next_dir = jnp.where(choose, refr, refl)
-        from_p = jnp.where(choose, p_x, p_e)
-        norm_c = jnp.where(choose, n_x, n_e)
-        alb_c = jnp.where(choose, alb_x, alb_e)
-        rgh_c = jnp.where(choose, rgh_x, rgh_e)
-        met_c = jnp.where(choose, met_x, met_e)
-        emi_c = jnp.where(choose, emi_x, emi_e)
-    else:
-        next_dir, from_p, norm_c = refl, p_e, n_e
-        alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
+        # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
+        # the light table lives in SMEM so components read as true scalars
+        # (Mosaic cannot concatenate offset (1,1) vector slices)
+        def light_vec(li, p):
+            is_dir = lights[li, 6] > 0.5
+            return jnp.concatenate([
+                jnp.where(is_dir, lights[li, 3], lights[li, 0] - p[0:1]),
+                jnp.where(is_dir, lights[li, 4], lights[li, 1] - p[1:2]),
+                jnp.where(is_dir, lights[li, 5], lights[li, 2] - p[2:3])],
+                axis=0)
 
-    # direct light from the CHOSEN point, occlusion from the entry point —
-    # the reference quirk (rt.rs:973-987 vs 1027-1046)
-    l_col = jnp.zeros_like(from_p)
-    for li in range(L):
-        lvec = light_vec(li, from_p)
-        ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
-        diff = jnp.maximum(_dot3(ln, norm_c), 0.0)
-        lrefl = ln - norm_c * (2.0 * _dot3(ln, norm_c))
-        spec = _pow32(jnp.maximum(_dot3(d, lrefl), 0.0)) * (1.0 - rgh_c)
-        o_col = alb_c * (1.0 - met_c)
-        pwr_l = lights[li, 7]
-        contrib = jnp.concatenate([
-            (o_col[0:1] * diff * lights[li, 8] + spec) * pwr_l,
-            (o_col[1:2] * diff * lights[li, 9] + spec) * pwr_l,
-            (o_col[2:3] * diff * lights[li, 10] + spec) * pwr_l], axis=0)
-        l_col = l_col + jnp.where(light_ok[li], contrib, 0.0)
+        light_ok = []
+        for li in range(L):
+            lvec = light_vec(li, p_e)
+            ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
+            sorig = p_e + ln * EPS
+            te_s, _, _, _, _ = pallas_hit3.sweep_closest(
+                layout, False, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
+                sorig, ln, tx_s, tbb=tbb, live=live_i)
+            light_ok.append((te_s >= _BIG * 0.5) & live_i)
 
-    # fold update (rt.rs:966-992 composed forward)
-    b_emit = u[7:8] < emi_c
-    a_f = jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c))
-    b_f = jnp.where(b_emit, alb_c, pwr * l_col)
-    a_f = jnp.where(live_i, a_f, 1.0)
-    b_f = jnp.where(live_i, b_f, 0.0)
+        if train:
+            te_o[...] = te
+            tx_o[...] = tx if need_exit else te
+            row_o[...] = row
+            xrow_o[...] = xrow if need_exit else row
+            for li in range(L):
+                lok_o[li:li + 1, :] = light_ok[li].astype(jnp.float32)
 
-    o2_o[...] = from_p + next_dir * EPS                     # Ray::cast
-    d2_o[...] = next_dir
-    pwr2_o[...] = pwr * dk
-    live2_o[...] = live_i.astype(jnp.float32)
-    A2_o[...] = A * a_f
-    B2_o[...] = B + A * b_f
+        # reflect from the entry hit (rt.rs:559-572)
+        diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
+        rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
+        nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
+        refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
+
+        if need_exit:
+            atX = fetch(xrow)
+            tx_f = jnp.where(live_i, tx, 1.0)
+            p_x = o + d * tx_f
+            n_x = _normal_rows(layout, atX, p_x, xrow)
+            alb_x = _rows3(atX, _C_ALB)
+            rgh_x = atX[_C_RGH:_C_RGH + 1]
+            met_raw_x = atX[_C_MET:_C_MET + 1]
+            met_x = met_raw_x
+            gls_x = atX[_C_GLS:_C_GLS + 1]
+            opa_x = atX[_C_OPA:_C_OPA + 1]
+            emi_x = atX[_C_EMI:_C_EMI + 1]
+            if maps:
+                ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow)
+                alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_rows(
+                    maps, text, tmeta, atX, ux_uv, vx_uv,
+                    alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
+            diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
+            rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0, rgh_x)
+            nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
+            eta = 1.0 + 0.5 * gls_x
+            cos = -_dot3(nf, d)
+            kk = 1.0 - eta * eta * (1.0 - cos * cos)
+            refr_ok = kk >= 0.0
+            k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
+            refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
+            refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
+            choose = (u[6:7] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+
+            next_dir = jnp.where(choose, refr, refl)
+            from_p = jnp.where(choose, p_x, p_e)
+            norm_c = jnp.where(choose, n_x, n_e)
+            alb_c = jnp.where(choose, alb_x, alb_e)
+            rgh_c = jnp.where(choose, rgh_x, rgh_e)
+            met_c = jnp.where(choose, met_x, met_e)
+            emi_c = jnp.where(choose, emi_x, emi_e)
+        else:
+            next_dir, from_p, norm_c = refl, p_e, n_e
+            alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
+
+        # direct light from the CHOSEN point, occlusion from the entry point —
+        # the reference quirk (rt.rs:973-987 vs 1027-1046)
+        l_col = jnp.zeros_like(from_p)
+        for li in range(L):
+            lvec = light_vec(li, from_p)
+            ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
+            diff = jnp.maximum(_dot3(ln, norm_c), 0.0)
+            lrefl = ln - norm_c * (2.0 * _dot3(ln, norm_c))
+            spec = _pow32(jnp.maximum(_dot3(d, lrefl), 0.0)) * (1.0 - rgh_c)
+            o_col = alb_c * (1.0 - met_c)
+            pwr_l = lights[li, 7]
+            contrib = jnp.concatenate([
+                (o_col[0:1] * diff * lights[li, 8] + spec) * pwr_l,
+                (o_col[1:2] * diff * lights[li, 9] + spec) * pwr_l,
+                (o_col[2:3] * diff * lights[li, 10] + spec) * pwr_l], axis=0)
+            l_col = l_col + jnp.where(light_ok[li], contrib, 0.0)
+
+        # fold update (rt.rs:966-992 composed forward)
+        b_emit = u[7:8] < emi_c
+        a_f = jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c))
+        b_f = jnp.where(b_emit, alb_c, pwr * l_col)
+        a_f = jnp.where(live_i, a_f, 1.0)
+        b_f = jnp.where(live_i, b_f, 0.0)
+
+        o2_o[...] = from_p + next_dir * EPS                     # Ray::cast
+        d2_o[...] = next_dir
+        pwr2_o[...] = pwr * dk
+        live2_o[...] = live_i.astype(jnp.float32)
+        A2_o[...] = A * a_f
+        B2_o[...] = B + A * b_f
 
 
 def _call_step(layout, need_exit, L, consts, attr, lights, decay,
@@ -610,7 +644,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
     the in-kernel texture path (inference only — the backward megakernel
     carries no texel terms)."""
     assert (tex is None) == (maps is None) and not (train and tex)
-    fr, ipos, pa, pr, valid, gid, AT, HT, thr = consts
+    fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb = consts
     AT = pallas_tri._pad_p(AT)
     HT = pallas_tri._pad_p(HT)
     thr = pallas_tri._pad_p(thr, fill=_BIG)
@@ -623,7 +657,12 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_TILE_FWD, Rp)
+    # measured per-scene-class optimum (BASELINE.md): 1024-lane tiles
+    # halve the dead-skip scf.if count (wins on tri-free scenes), 512
+    # keeps the triangle super-block culling fine-grained enough to bite
+    want = (_TILE_FWD if "MRT_STEP_RT" in os.environ
+            else (512 if layout[2] else 1024))
+    RT = _pick_tile(want, Rp)
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
     r8 = pl.BlockSpec((8, RT), lambda i: (0, i))
@@ -644,7 +683,11 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         if L:
             out_shapes.append(jax.ShapeDtypeStruct((L, Rp), f32))
             out_specs.append(pl.BlockSpec((L, RT), lambda i: (0, i)))
-    kern = partial(_step_kernel, layout, need_exit, L, train, maps)
+    kern = partial(_step_kernel, layout, need_exit, L, train, maps,
+                   tbb is not None)
+    tbb_specs, tbb_args = [], []
+    if tbb is not None:
+        tbb_specs, tbb_args = [cspec(tbb)], [tbb]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex
@@ -654,14 +697,14 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         kern,
         grid=(Rp // RT,),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
-                  cspec(gid), cspec(AT), cspec(HT), cspec(thr), cspec(attr)]
-                 + tex_specs
+                  cspec(gid), cspec(AT), cspec(HT), cspec(thr)]
+                 + tbb_specs + [cspec(attr)] + tex_specs
                  + [smem, smem, r3, r3, r1, r1, r3, r3, r8],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
-    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, attr, *tex_args,
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *tex_args,
       lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8)
     if not train:
         return outs
@@ -1227,7 +1270,9 @@ def _get_step_fn(layout, need_exit, L):
         d_consts = (jnp.zeros_like(consts[0]), jnp.zeros_like(consts[1]),
                     jnp.zeros_like(consts[2]), jnp.zeros_like(consts[3]),
                     jnp.zeros_like(consts[4]), jnp.zeros_like(consts[5]),
-                    d_AT, d_HT, jnp.zeros_like(consts[8]))
+                    d_AT, d_HT, jnp.zeros_like(consts[8]),
+                    None if consts[9] is None
+                    else jnp.zeros_like(consts[9]))
         live_ct = jnp.zeros_like(d_pwrT)
         u8_ct = jnp.zeros((8, d_pwrT.shape[1]), d_pwrT.dtype)
         return (d_consts, d_attr, d_lights, d_dk,

@@ -111,3 +111,38 @@ def test_hit3_tracer_radiance_matches_dense(mixed_scene, monkeypatch):
     monkeypatch.setenv("MRT_HIT3", "1")
     b = run()
     np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
+
+
+def test_hit3_tri_culling_matches_dense(monkeypatch):
+    """>128 triangles (n_blocks > _SUPER) activate the super-block AABB
+    culling path; clustered geometry makes real skips happen, an instanced
+    rotation exercises the world-vertex inverse, and results must be
+    IDENTICAL to the dense sweep (culling is conservative, not lossy)."""
+    monkeypatch.setenv("MRT_TRI_MXU", "1")
+    monkeypatch.setenv("MRT_HIT3", "1")
+    rng = np.random.default_rng(7)
+    tris = []
+    # three tight clusters far apart -> most (tile, super) pairs cull
+    for c in ([-3.0, 0.0, 0.0], [3.0, 2.0, 0.0], [0.0, -3.0, 2.0]):
+        base = rng.uniform(-0.5, 0.5, (70, 1, 3)) + np.asarray(c)[None, None]
+        tris.append(base + rng.uniform(-0.2, 0.2, (70, 3, 3)))
+    tris = np.concatenate(tris).astype(np.float32)      # 210 triangles
+    scene = compile_scene(schema.SceneConfig.from_json({
+        "renderer": [
+            {"type": "mesh", "mesh": tris.tolist(),
+             "pos": [0.2, 0.1, 0.0], "dir": [0, 0.4, 0.8, 0.1]},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -4]},
+        ],
+    }))
+    frames = intersect.build_frames(scene)
+    o, d = rays(n=512, seed=3)
+    ref = intersect.closest_hit(scene, frames, o, d, need_exit=False)
+    got = pallas_hit3.closest_hit(scene, frames, o, d, need_exit=False)
+    assert np.asarray(ref.hit).any()
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(np.asarray(ref.idx_entry),
+                                  np.asarray(got.idx_entry))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t_entry)[h],
+                               np.asarray(ref.t_entry)[h], rtol=1e-5,
+                               atol=1e-6)

@@ -109,6 +109,31 @@ def test_step_kernel_matches_reference(which, monkeypatch):
                                    err_msg=name)
 
 
+def test_step_kernel_all_dead_tile_passthrough(monkeypatch):
+    """A fully-dead ray tile takes the whole-tile skip branch; the
+    pass-through must equal the jnp reference's dead-lane semantics
+    (A/B unchanged, pwr decays, live stays false)."""
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "0")
+    monkeypatch.setenv("MRT_TRI_PALLAS", "0")
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["opaque"]))
+    frames = intersect.build_frames(scene)
+    attrs = intersect.prim_attributes(scene, frames)
+    ray, A, B, u, u_emit = state(scene, n=256, seed=5)
+    ray = (ray[0], ray[1], ray[2], jnp.zeros_like(ray[3]))  # all dead
+    decay = jnp.float32(0.85)
+
+    ray_r, A_r, B_r, live_r = tracer.fused_step_reference(
+        scene, frames, attrs, decay, ray, A, B, u, u_emit)
+    ray_k, A_k, B_k, live_k = pallas_step.step(
+        scene, frames, decay, ray, A, B, u, u_emit)
+    assert not np.asarray(live_k).any()
+    np.testing.assert_allclose(np.asarray(A_k), np.asarray(A_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(B_k), np.asarray(B_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ray_k[2]), np.asarray(ray_r[2]),
+                               rtol=1e-6)
+
+
 def test_step_kernel_vjp_matches_reference(monkeypatch):
     monkeypatch.setenv("MRT_STEP", "1")
     monkeypatch.setenv("MRT_HIT3", "0")
