@@ -330,6 +330,22 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
             us.append(u8)
         u8s = jnp.stack(us)                                # (steps, 8, Rp)
 
+        if pallas_step.trace_enabled(scene, Rp, inference=inference):
+            # whole-trace megakernel: all bounce+1 steps in ONE pallas_call
+            # (grid = ray tiles x steps, carry in VMEM scratch) — no scan,
+            # no per-step carry round-trips, residuals streamed in-kernel;
+            # the backward is the matching whole-trace kernel.
+            A_T, B_T, flT = pallas_step.trace_packed(
+                scene, consts, attr, lights, decay, o_p.T, d_p.T, u8s,
+                tex=tex, inference=inference)
+            A, B = A_T.T[:R], B_T.T[:R]
+            first_live = flT[0, :R] > 0.5
+            base = jnp.broadcast_to(scene.sky_color * scene.sky_pwr, (R, 3))
+            col = B + A * base
+            # empty path -> bare sky color, *without* pwr (rt.rs:957-959)
+            return jnp.where(first_live[:, None], col,
+                             jnp.broadcast_to(scene.sky_color, (R, 3)))
+
         def stepk(carry, xs):
             rayT, A_T, B_T, firstT = carry
             i, u8 = xs

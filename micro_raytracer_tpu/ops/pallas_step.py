@@ -83,10 +83,20 @@ _TILE_BWD = int(os.environ.get("MRT_STEP_BWD_RT", "1024"))
 _TILE_PAD = max(_TILE_FWD, _TILE_BWD)
 
 
-def _pick_tile(want, Rp):
+def _pick_tile(want, Rp, dense_rows=0):
     """Largest lane tile <= `want` dividing Rp (Rp is always a multiple of
-    128 via `lane_pad`, so small test batches don't pay full-tile padding)."""
+    128 via `lane_pad`, so small test batches don't pay full-tile padding).
+
+    Wide sphere/plane/box tables shrink the tile: the dense in-kernel
+    sweep keeps ~10 (dense_rows, RT) f32 intermediates live on the scoped
+    VMEM stack (measured 19 MB at 1000x512 vs the 16 MB limit), so
+    Instance-class scenes overflow at the default tile — clamp so the
+    sweep working set stays under ~12 MB. Triangles don't count: their
+    sweep is super-block-tiled (pallas_tri) and never materializes
+    (P_tri, RT)."""
     t = want
+    while t > 128 and dense_rows * t * 40 > 12 * 2**20:
+        t //= 2
     while Rp % t:
         t //= 2
     return t
@@ -438,12 +448,162 @@ def _pow32(x):
     return x16 * x16
 
 
+def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
+               o, d, pwr, live, A, B, u, want_resid=False):
+    """One full bounce step on lane-major (C, RT) values — the shared body
+    of the per-step kernel (:func:`_step_kernel`) and the whole-trace
+    kernel (:func:`_trace_kernel`). ``tables`` holds the kernel refs
+    ``(fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, text_r,
+    tmeta, lights)``. Returns ``(o2, d2, pwr2, live2f, A2, B2, resid)``
+    with ``resid = (te, tx, row, xrow, [lok_f32...])`` when requested
+    (the backward megakernel's residuals)."""
+    (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
+     text_r, tmeta, lights) = tables
+    RT = o.shape[1]
+    P_pad = attr.shape[0]
+    hp_prec = jax.lax.Precision.HIGHEST
+
+    te, row, _, tx, xrow = pallas_hit3.sweep_closest(
+        layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
+        o, d, tx_s, tbb=tbb, live=live)
+    hit = te < _BIG * 0.5
+    live_i = live & hit
+
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
+
+    def fetch(r):
+        oh = (iota_rows == r).astype(jnp.float32)           # (P_pad, RT)
+        return jax.lax.dot_general(attr[...], oh, (((0,), (0,)), ((), ())),
+                                   precision=hp_prec)       # (24, RT)
+
+    atE = fetch(row)
+    te_f = jnp.where(live_i, te, 1.0)
+    p_e = o + d * te_f
+    n_e = _normal_rows(layout, atE, p_e, row)
+    alb_e = _rows3(atE, _C_ALB)
+    rgh_e = atE[_C_RGH:_C_RGH + 1]
+    met_raw_e = atE[_C_MET:_C_MET + 1]
+    met_e = met_raw_e
+    opa_e = atE[_C_OPA:_C_OPA + 1]
+    emi_e = atE[_C_EMI:_C_EMI + 1]
+    if maps:
+        # texture overrides at the entry point; the dielectric test below
+        # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
+        u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
+        text = text_r[...]
+        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
+            maps, text, tmeta, atE, u_uv, v_uv,
+            alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
+
+    # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
+    # the light table lives in SMEM so components read as true scalars
+    # (Mosaic cannot concatenate offset (1,1) vector slices)
+    def light_vec(li, p):
+        is_dir = lights[li, 6] > 0.5
+        return jnp.concatenate([
+            jnp.where(is_dir, lights[li, 3], lights[li, 0] - p[0:1]),
+            jnp.where(is_dir, lights[li, 4], lights[li, 1] - p[1:2]),
+            jnp.where(is_dir, lights[li, 5], lights[li, 2] - p[2:3])],
+            axis=0)
+
+    light_ok = []
+    for li in range(L):
+        lvec = light_vec(li, p_e)
+        ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
+        sorig = p_e + ln * EPS
+        te_s, _, _, _, _ = pallas_hit3.sweep_closest(
+            layout, False, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
+            sorig, ln, tx_s, tbb=tbb, live=live_i)
+        light_ok.append((te_s >= _BIG * 0.5) & live_i)
+
+    resid = None
+    if want_resid:
+        resid = (te, tx if need_exit else te, row,
+                 xrow if need_exit else row,
+                 [lk.astype(jnp.float32) for lk in light_ok])
+
+    # reflect from the entry hit (rt.rs:559-572)
+    diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
+    rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
+    nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
+    refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
+
+    if need_exit:
+        atX = fetch(xrow)
+        tx_f = jnp.where(live_i, tx, 1.0)
+        p_x = o + d * tx_f
+        n_x = _normal_rows(layout, atX, p_x, xrow)
+        alb_x = _rows3(atX, _C_ALB)
+        rgh_x = atX[_C_RGH:_C_RGH + 1]
+        met_raw_x = atX[_C_MET:_C_MET + 1]
+        met_x = met_raw_x
+        gls_x = atX[_C_GLS:_C_GLS + 1]
+        opa_x = atX[_C_OPA:_C_OPA + 1]
+        emi_x = atX[_C_EMI:_C_EMI + 1]
+        if maps:
+            ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow)
+            alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_rows(
+                maps, text, tmeta, atX, ux_uv, vx_uv,
+                alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
+        diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
+        rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0, rgh_x)
+        nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
+        eta = 1.0 + 0.5 * gls_x
+        cos = -_dot3(nf, d)
+        kk = 1.0 - eta * eta * (1.0 - cos * cos)
+        refr_ok = kk >= 0.0
+        k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
+        refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
+        refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
+        choose = (u[6:7] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+
+        next_dir = jnp.where(choose, refr, refl)
+        from_p = jnp.where(choose, p_x, p_e)
+        norm_c = jnp.where(choose, n_x, n_e)
+        alb_c = jnp.where(choose, alb_x, alb_e)
+        rgh_c = jnp.where(choose, rgh_x, rgh_e)
+        met_c = jnp.where(choose, met_x, met_e)
+        emi_c = jnp.where(choose, emi_x, emi_e)
+    else:
+        next_dir, from_p, norm_c = refl, p_e, n_e
+        alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
+
+    # direct light from the CHOSEN point, occlusion from the entry point —
+    # the reference quirk (rt.rs:973-987 vs 1027-1046)
+    l_col = jnp.zeros_like(from_p)
+    for li in range(L):
+        lvec = light_vec(li, from_p)
+        ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
+        diff = jnp.maximum(_dot3(ln, norm_c), 0.0)
+        lrefl = ln - norm_c * (2.0 * _dot3(ln, norm_c))
+        spec = _pow32(jnp.maximum(_dot3(d, lrefl), 0.0)) * (1.0 - rgh_c)
+        o_col = alb_c * (1.0 - met_c)
+        pwr_l = lights[li, 7]
+        contrib = jnp.concatenate([
+            (o_col[0:1] * diff * lights[li, 8] + spec) * pwr_l,
+            (o_col[1:2] * diff * lights[li, 9] + spec) * pwr_l,
+            (o_col[2:3] * diff * lights[li, 10] + spec) * pwr_l], axis=0)
+        l_col = l_col + jnp.where(light_ok[li], contrib, 0.0)
+
+    # fold update (rt.rs:966-992 composed forward)
+    b_emit = u[7:8] < emi_c
+    a_f = jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c))
+    b_f = jnp.where(b_emit, alb_c, pwr * l_col)
+    a_f = jnp.where(live_i, a_f, 1.0)
+    b_f = jnp.where(live_i, b_f, 0.0)
+
+    o2 = from_p + next_dir * EPS                            # Ray::cast
+    return (o2, next_dir, pwr * dk, live_i.astype(jnp.float32),
+            A * a_f, B + A * b_f, resid)
+
+
 def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
                  fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest_in):
     tbb = None
     if has_tbb:
         tbb, rest_in = rest_in[0], rest_in[1:]
     attr, rest_in = rest_in[0], rest_in[1:]
+    text_r = tmeta = None
     if maps:
         (text_r, tmeta), rest_in = rest_in[:2], rest_in[2:]
     (lights, dk_r, o_r, d_r, pwr_r, live_r, A_r, B_r, u_r,
@@ -488,150 +648,28 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
     A = A_r[...]
     B = B_r[...]
     u = u_r[...]
+    tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
+              text_r, tmeta, lights)
 
     @body_gate
     def _step_body():
-        RT = o.shape[1]
-        P_pad = attr.shape[0]
-        hp_prec = jax.lax.Precision.HIGHEST
-
-        te, row, _, tx, xrow = pallas_hit3.sweep_closest(
-            layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-            o, d, tx_s, tbb=tbb, live=live)
-        hit = te < _BIG * 0.5
-        live_i = live & hit
-
-        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
-
-        def fetch(r):
-            oh = (iota_rows == r).astype(jnp.float32)           # (P_pad, RT)
-            return jax.lax.dot_general(attr[...], oh, (((0,), (0,)), ((), ())),
-                                       precision=hp_prec)       # (24, RT)
-
-        atE = fetch(row)
-        te_f = jnp.where(live_i, te, 1.0)
-        p_e = o + d * te_f
-        n_e = _normal_rows(layout, atE, p_e, row)
-        alb_e = _rows3(atE, _C_ALB)
-        rgh_e = atE[_C_RGH:_C_RGH + 1]
-        met_raw_e = atE[_C_MET:_C_MET + 1]
-        met_e = met_raw_e
-        opa_e = atE[_C_OPA:_C_OPA + 1]
-        emi_e = atE[_C_EMI:_C_EMI + 1]
-        if maps:
-            # texture overrides at the entry point; the dielectric test below
-            # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
-            u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
-            text = text_r[...]
-            alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
-                maps, text, tmeta, atE, u_uv, v_uv,
-                alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
-
-        # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
-        # the light table lives in SMEM so components read as true scalars
-        # (Mosaic cannot concatenate offset (1,1) vector slices)
-        def light_vec(li, p):
-            is_dir = lights[li, 6] > 0.5
-            return jnp.concatenate([
-                jnp.where(is_dir, lights[li, 3], lights[li, 0] - p[0:1]),
-                jnp.where(is_dir, lights[li, 4], lights[li, 1] - p[1:2]),
-                jnp.where(is_dir, lights[li, 5], lights[li, 2] - p[2:3])],
-                axis=0)
-
-        light_ok = []
-        for li in range(L):
-            lvec = light_vec(li, p_e)
-            ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
-            sorig = p_e + ln * EPS
-            te_s, _, _, _, _ = pallas_hit3.sweep_closest(
-                layout, False, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-                sorig, ln, tx_s, tbb=tbb, live=live_i)
-            light_ok.append((te_s >= _BIG * 0.5) & live_i)
-
+        o2, d2, pwr2, live2f, A2, B2, resid = _step_math(
+            layout, need_exit, L, maps, tables, tx_s, dk,
+            o, d, pwr, live, A, B, u, want_resid=train)
         if train:
+            te, tx, row, xrow, lok = resid
             te_o[...] = te
-            tx_o[...] = tx if need_exit else te
+            tx_o[...] = tx
             row_o[...] = row
-            xrow_o[...] = xrow if need_exit else row
+            xrow_o[...] = xrow
             for li in range(L):
-                lok_o[li:li + 1, :] = light_ok[li].astype(jnp.float32)
-
-        # reflect from the entry hit (rt.rs:559-572)
-        diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
-        rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
-        nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
-        refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
-
-        if need_exit:
-            atX = fetch(xrow)
-            tx_f = jnp.where(live_i, tx, 1.0)
-            p_x = o + d * tx_f
-            n_x = _normal_rows(layout, atX, p_x, xrow)
-            alb_x = _rows3(atX, _C_ALB)
-            rgh_x = atX[_C_RGH:_C_RGH + 1]
-            met_raw_x = atX[_C_MET:_C_MET + 1]
-            met_x = met_raw_x
-            gls_x = atX[_C_GLS:_C_GLS + 1]
-            opa_x = atX[_C_OPA:_C_OPA + 1]
-            emi_x = atX[_C_EMI:_C_EMI + 1]
-            if maps:
-                ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow)
-                alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_rows(
-                    maps, text, tmeta, atX, ux_uv, vx_uv,
-                    alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
-            diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
-            rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0, rgh_x)
-            nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
-            eta = 1.0 + 0.5 * gls_x
-            cos = -_dot3(nf, d)
-            kk = 1.0 - eta * eta * (1.0 - cos * cos)
-            refr_ok = kk >= 0.0
-            k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
-            refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
-            refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
-            choose = (u[6:7] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
-
-            next_dir = jnp.where(choose, refr, refl)
-            from_p = jnp.where(choose, p_x, p_e)
-            norm_c = jnp.where(choose, n_x, n_e)
-            alb_c = jnp.where(choose, alb_x, alb_e)
-            rgh_c = jnp.where(choose, rgh_x, rgh_e)
-            met_c = jnp.where(choose, met_x, met_e)
-            emi_c = jnp.where(choose, emi_x, emi_e)
-        else:
-            next_dir, from_p, norm_c = refl, p_e, n_e
-            alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
-
-        # direct light from the CHOSEN point, occlusion from the entry point —
-        # the reference quirk (rt.rs:973-987 vs 1027-1046)
-        l_col = jnp.zeros_like(from_p)
-        for li in range(L):
-            lvec = light_vec(li, from_p)
-            ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
-            diff = jnp.maximum(_dot3(ln, norm_c), 0.0)
-            lrefl = ln - norm_c * (2.0 * _dot3(ln, norm_c))
-            spec = _pow32(jnp.maximum(_dot3(d, lrefl), 0.0)) * (1.0 - rgh_c)
-            o_col = alb_c * (1.0 - met_c)
-            pwr_l = lights[li, 7]
-            contrib = jnp.concatenate([
-                (o_col[0:1] * diff * lights[li, 8] + spec) * pwr_l,
-                (o_col[1:2] * diff * lights[li, 9] + spec) * pwr_l,
-                (o_col[2:3] * diff * lights[li, 10] + spec) * pwr_l], axis=0)
-            l_col = l_col + jnp.where(light_ok[li], contrib, 0.0)
-
-        # fold update (rt.rs:966-992 composed forward)
-        b_emit = u[7:8] < emi_c
-        a_f = jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c))
-        b_f = jnp.where(b_emit, alb_c, pwr * l_col)
-        a_f = jnp.where(live_i, a_f, 1.0)
-        b_f = jnp.where(live_i, b_f, 0.0)
-
-        o2_o[...] = from_p + next_dir * EPS                     # Ray::cast
-        d2_o[...] = next_dir
-        pwr2_o[...] = pwr * dk
-        live2_o[...] = live_i.astype(jnp.float32)
-        A2_o[...] = A * a_f
-        B2_o[...] = B + A * b_f
+                lok_o[li:li + 1, :] = lok[li]
+        o2_o[...] = o2
+        d2_o[...] = d2
+        pwr2_o[...] = pwr2
+        live2_o[...] = live2f
+        A2_o[...] = A2
+        B2_o[...] = B2
 
 
 def _call_step(layout, need_exit, L, consts, attr, lights, decay,
@@ -662,7 +700,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
     # keeps the triangle super-block culling fine-grained enough to bite
     want = (_TILE_FWD if "MRT_STEP_RT" in os.environ
             else (512 if layout[2] else 1024))
-    RT = _pick_tile(want, Rp)
+    RT = _pick_tile(want, Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
     r8 = pl.BlockSpec((8, RT), lambda i: (0, i))
@@ -711,6 +749,179 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
     return outs[:6], outs[6:]
 
 
+# --- whole-trace megakernel --------------------------------------------------
+#
+# The per-step scheme (one pallas_call per bounce inside a lax.scan) leaves
+# ~60% of the training step in XLA glue: scan-carry HBM round-trips,
+# residual stacking (dynamic-update-slices), lane-major <-> component-form
+# relayout reshapes and the one-hot fetch/scatter around the backward
+# kernel. The whole-trace kernels run ALL bounce+1 steps in ONE pallas_call
+# with the carry resident in VMEM scratch: grid = (ray tiles, steps), step
+# innermost, so each tile's carry lives in scratch across its K steps.
+# Residuals stream straight to their (K, CR, Rp) blocks (no XLA stacking);
+# the backward kernel walks the same grid with the step axis reversed,
+# carrying cotangents in scratch and doing the winner fetch, the
+# component-form relayout, and the attribute scatter in-kernel.
+
+_R_TE, _R_TX, _R_ROW, _R_XROW, _R_LOK = 11, 12, 13, 14, 15
+
+
+def _res_rows(L):
+    """Residual rows per step: o(3) d(3) pwr(1) live(1) A(3) te tx row xrow
+    + L light-occlusion rows, padded to a sublane multiple. ``B`` is not
+    saved: it only ever enters additively (B2 = B + A*b), so its value is
+    irrelevant to every cotangent and its own cotangent is the constant
+    ctB of the trace output."""
+    n = _R_LOK + L
+    return n + ((-n) % 8)
+
+
+def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
+                  fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest):
+    rest = list(rest)
+    tbb = rest.pop(0) if has_tbb else None
+    attr = rest.pop(0)
+    text_r = tmeta = None
+    if maps:
+        text_r, tmeta = rest.pop(0), rest.pop(0)
+    lights, dk_r, o0_r, d0_r, u8_r = rest[:5]
+    rest = rest[5:]
+    A_o, B_o, fl_o = rest[:3]
+    rest = rest[3:]
+    res_o = rest.pop(0) if train else None
+    carry_s, tx_s = rest
+    k = pl.program_id(1)
+    dk = dk_r[0, 0]
+
+    @pl.when(k == 0)
+    def _init():
+        one = jnp.ones((1, carry_s.shape[1]), jnp.float32)
+        carry_s[0:3, :] = o0_r[...]
+        carry_s[3:6, :] = d0_r[...]
+        carry_s[6:7, :] = one                               # pwr
+        carry_s[7:8, :] = one                               # live
+        carry_s[8:9, :] = one                               # A
+        carry_s[9:10, :] = one
+        carry_s[10:11, :] = one
+        carry_s[11:14, :] = jnp.zeros((3, carry_s.shape[1]), jnp.float32)
+
+    o = carry_s[0:3, :]
+    d = carry_s[3:6, :]
+    pwr = carry_s[6:7, :]
+    live_f = carry_s[7:8, :]
+    A = carry_s[8:11, :]
+    B = carry_s[11:14, :]
+    live = live_f > 0.5
+    u = u8_r[0, :, :]
+    tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
+              text_r, tmeta, lights)
+
+    if skip and not train:
+        # whole-tile dead skip (see _step_kernel): scratch already holds
+        # the passthrough carry, only pwr decays
+        carry_s[6:7, :] = pwr * dk
+        body_gate = pl.when(jnp.max(live_f) > 0.0)
+    else:
+        def body_gate(f):
+            return f()
+
+    @body_gate
+    def _body():
+        o2, d2, pwr2, live2f, A2, B2, resid = _step_math(
+            layout, need_exit, L, maps, tables, tx_s, dk,
+            o, d, pwr, live, A, B, u, want_resid=train)
+        if train:
+            te, tx, row, xrow, lok = resid
+            res_o[0, 0:3, :] = o
+            res_o[0, 3:6, :] = d
+            res_o[0, 6:7, :] = pwr
+            res_o[0, 7:8, :] = live_f
+            res_o[0, 8:11, :] = A
+            res_o[0, _R_TE:_R_TE + 1, :] = te
+            res_o[0, _R_TX:_R_TX + 1, :] = tx
+            res_o[0, _R_ROW:_R_ROW + 1, :] = row.astype(jnp.float32)
+            res_o[0, _R_XROW:_R_XROW + 1, :] = xrow.astype(jnp.float32)
+            for li in range(L):
+                res_o[0, _R_LOK + li:_R_LOK + li + 1, :] = lok[li]
+        carry_s[0:3, :] = o2
+        carry_s[3:6, :] = d2
+        carry_s[6:7, :] = pwr2
+        carry_s[7:8, :] = live2f
+        carry_s[8:11, :] = A2
+        carry_s[11:14, :] = B2
+
+    @pl.when(k == 0)
+    def _first():
+        fl_o[...] = carry_s[7:8, :]
+
+    @pl.when(k == K - 1)
+    def _final():
+        A_o[...] = carry_s[8:11, :]
+        B_o[...] = carry_s[11:14, :]
+
+
+def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
+                o0T, d0T, u8s, train=False, tex=None, maps=None):
+    """Whole-trace kernel invocation on lane-major primaries (3, Rp) and
+    uniforms (K, 8, Rp). Returns (A (3,Rp), B (3,Rp), first_live (1,Rp)
+    [, residuals (K, CR, Rp)])."""
+    assert (tex is None) == (maps is None) and not (train and tex)
+    fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb = consts
+    AT = pallas_tri._pad_p(AT)
+    HT = pallas_tri._pad_p(HT)
+    thr = pallas_tri._pad_p(thr, fill=_BIG)
+    Rp = o0T.shape[1]
+    P_pad = gid.shape[0]
+    scratch_rows = max(P_pad, 8)
+    dk = jnp.asarray(dk, jnp.float32).reshape(1, 1)
+
+    def cspec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    want = (_TILE_FWD if "MRT_STEP_RT" in os.environ
+            else (512 if layout[2] else 1024))
+    RT = _pick_tile(want, Rp, layout[1])
+    r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
+    r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
+    u8spec = pl.BlockSpec((1, 8, RT), lambda i, k: (k, 0, i))
+    f32 = jnp.float32
+    CR = _res_rows(L)
+    out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
+                  jax.ShapeDtypeStruct((3, Rp), f32),
+                  jax.ShapeDtypeStruct((1, Rp), f32)]
+    out_specs = [r3, r3, r1]
+    if train:
+        out_shapes.append(jax.ShapeDtypeStruct((K, CR, Rp), f32))
+        out_specs.append(pl.BlockSpec((1, CR, RT), lambda i, k: (k, 0, i)))
+    skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
+    kern = partial(_trace_kernel, layout, need_exit, L, K, train, maps,
+                   tbb is not None, skip)
+    tbb_specs, tbb_args = [], []
+    if tbb is not None:
+        tbb_specs, tbb_args = [cspec(tbb)], [tbb]
+    tex_specs, tex_args = [], []
+    if tex is not None:
+        TEXT, meta = tex
+        tex_specs = [cspec(TEXT), smem]
+        tex_args = [TEXT, meta]
+    outs = pl.pallas_call(
+        kern,
+        grid=(Rp // RT, K),
+        in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
+                  cspec(gid), cspec(AT), cspec(HT), cspec(thr)]
+                 + tbb_specs + [cspec(attr)] + tex_specs
+                 + [smem, smem, r3, r3, u8spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((14, RT), jnp.float32),
+                        pltpu.VMEM((scratch_rows, RT), jnp.float32)],
+        interpret=_interpret(),
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *tex_args,
+      lights, dk, o0T, d0T, u8s)
+    return outs
+
+
 # --- sweep-free replay (component form, rays on sublanes x lanes) ----------
 #
 # The backward megakernel evaluates jax.vjp of `_step_comp` INSIDE the
@@ -730,7 +941,10 @@ _SUBL = 8
 
 
 def _att(at, c):
-    """Per-ray attribute c as an (8, W) block of the (C*8, W) bundle."""
+    """Per-ray attribute c as an (8, W) block of the (C*8, W) bundle (or
+    of a per-component tuple — the whole-trace backward kernel's form)."""
+    if isinstance(at, (tuple, list)):
+        return at[c]
     return at[c * _SUBL:(c + 1) * _SUBL, :]
 
 
@@ -1227,6 +1441,340 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
     d_dk = dm[L * 11]
     return (d_attr, d_lights, d_dk, d_oT, d_dT, d_pwrT,
             d_AT_, d_BT_, d_AT_w, d_HT_w)
+
+
+# --- whole-trace backward megakernel -----------------------------------------
+
+def _comp8(x):
+    """Per-tile component relayout: lane row (1, RT) -> (8, WT) block.
+
+    Row-major reshape puts 8 contiguous WT-lane segments of the row on
+    the 8 sublanes; Mosaic lowers both directions natively (lane-concat
+    of mismatched-sublane slices does NOT lower — hence reshape). WT
+    should be a 128-multiple on real TPU; the caller gates on that."""
+    RT = x.shape[1]
+    return jnp.reshape(x, (_SUBL, RT // _SUBL))
+
+
+def _uncomp8(b):
+    """Inverse of :func:`_comp8`: (8, WT) block -> (1, RT) lane row."""
+    return jnp.reshape(b, (1, b.shape[0] * b.shape[1]))
+
+
+def _comp_v3(x):
+    return tuple(_comp8(x[c:c + 1, :]) for c in range(3))
+
+
+def _uncomp_v3(v):
+    return jnp.concatenate([_uncomp8(c) for c in v], axis=0)
+
+
+def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, *refs):
+    refs = list(refs)
+    attr = refs.pop(0)
+    if n_tri:
+        ATg, HTg = refs.pop(0), refs.pop(0)
+    lights_s, dk_s = refs.pop(0), refs.pop(0)
+    res_r, u8_r, ctA_r, ctB_r = refs[:4]
+    refs = refs[4:]
+    do_o, dd_o, dattr_o = refs[:3]
+    refs = refs[3:]
+    if n_tri:
+        dATg_o, dHTg_o = refs.pop(0), refs.pop(0)
+    dmisc_o, ct_s = refs
+    k = pl.program_id(1)
+    hp_prec = jax.lax.Precision.HIGHEST
+
+    @pl.when((pl.program_id(0) == 0) & (k == 0))
+    def _zero_acc():
+        dattr_o[...] = jnp.zeros_like(dattr_o)
+        dmisc_o[...] = jnp.zeros_like(dmisc_o)
+        if n_tri:
+            dATg_o[...] = jnp.zeros_like(dATg_o)
+            dHTg_o[...] = jnp.zeros_like(dHTg_o)
+
+    @pl.when(k == 0)
+    def _init_ct():
+        z = jnp.zeros((8, ct_s.shape[1]), jnp.float32)
+        for r in range(7):                       # cto(3) ctd(3) ctp(1)
+            ct_s[8 * r:8 * (r + 1), :] = z
+        ctA0 = _comp_v3(ctA_r[...])
+        for c in range(3):
+            ct_s[56 + 8 * c:64 + 8 * c, :] = ctA0[c]
+
+    res = res_r[0, :, :]                                   # (CR, RT)
+    u_l = u8_r[0, :, :]                                    # (8, RT)
+    o_l, d_l, A_l = res[0:3, :], res[3:6, :], res[8:11, :]
+    te_l = res[_R_TE:_R_TE + 1, :]
+    tx_l = res[_R_TX:_R_TX + 1, :]
+    row_l = res[_R_ROW:_R_ROW + 1, :]
+    xrow_l = res[_R_XROW:_R_XROW + 1, :]
+    row_i = row_l.astype(jnp.int32)
+    xrow_i = xrow_l.astype(jnp.int32)
+
+    # winner/exit attribute fetch, in-kernel (one one-hot MXU dot each)
+    P_pad, RT = attr.shape[0], o_l.shape[1]
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
+
+    def fetch_lane(tab, oh):
+        return jax.lax.dot_general(tab[...], oh, (((0,), (0,)), ((), ())),
+                                   precision=hp_prec)
+
+    ohE = (iota_rows == row_i).astype(jnp.float32)
+    atE_l = fetch_lane(attr, ohE)                          # (24, RT)
+    p = {"o": _comp_v3(o_l), "d": _comp_v3(d_l),
+         "pwr": _comp8(res[6:7, :]), "A": _comp_v3(A_l),
+         "atE": tuple(_comp8(atE_l[c:c + 1, :]) for c in range(_NCOL))}
+    zeros8 = jnp.zeros_like(p["pwr"])
+    # B enters only additively (B2 = B + A*b): its value shapes no
+    # cotangent, so the replay runs it at zero instead of saving it
+    p["B"] = (zeros8, zeros8, zeros8)
+    ones8 = jnp.ones_like(p["pwr"])
+    p["dk"] = dk_s[0, 0] * ones8
+    p["lr"] = [[lights_s[li, j] * ones8 for j in range(11)]
+               for li in range(L)]
+    if need_exit:
+        ohX = (iota_rows == xrow_i).astype(jnp.float32)
+        atX_l = fetch_lane(attr, ohX)
+        p["atX"] = tuple(_comp8(atX_l[c:c + 1, :]) for c in range(_NCOL))
+    if n_tri:
+        Pt = ATg.shape[0]
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (Pt, RT), 0)
+        ohTe = (iota_t == jnp.clip(row_i - tri_start, 0, Pt - 1)).astype(
+            jnp.float32)
+        g3e_l = fetch_lane(ATg, ohTe)                      # (3, RT)
+        h3e_l = fetch_lane(HTg, ohTe)                      # (1, RT)
+        p["g3e"], p["h3e"] = _comp_v3(g3e_l), _comp8(h3e_l)
+        if need_exit:
+            ohTx = (iota_t == jnp.clip(xrow_i - tri_start, 0, Pt - 1)
+                    ).astype(jnp.float32)
+            g3x_l = fetch_lane(ATg, ohTx)
+            h3x_l = fetch_lane(HTg, ohTx)
+            p["g3x"], p["h3x"] = _comp_v3(g3x_l), _comp8(h3x_l)
+
+    u = [_comp8(u_l[j:j + 1, :]) for j in range(8)]
+    live = _comp8(res[7:8, :]) > 0.5
+    lok = [_comp8(res[_R_LOK + li:_R_LOK + li + 1, :]) > 0.5
+           for li in range(L)]
+
+    cto = tuple(ct_s[8 * c:8 * (c + 1), :] for c in range(3))
+    ctd = tuple(ct_s[24 + 8 * c:32 + 8 * c, :] for c in range(3))
+    ctp = ct_s[48:56, :]
+    ctA = tuple(ct_s[56 + 8 * c:64 + 8 * c, :] for c in range(3))
+    ctB = _comp_v3(ctB_r[...])                             # constant carry
+
+    primal = partial(_step_comp, layout, need_exit, L,
+                     u=u, live=live, te_sv=_comp8(te_l), tx_sv=_comp8(tx_l),
+                     row=_comp8(row_l), xrow=_comp8(xrow_l), lok=lok)
+    _, vjp = jax.vjp(lambda pp: primal(pp), p)
+    g = vjp((cto, ctd, ctp, ctA, ctB))[0]
+
+    for c in range(3):
+        ct_s[8 * c:8 * (c + 1), :] = g["o"][c]
+        ct_s[24 + 8 * c:32 + 8 * c, :] = g["d"][c]
+        ct_s[56 + 8 * c:64 + 8 * c, :] = g["A"][c]
+    ct_s[48:56, :] = g["pwr"]
+
+    # scatter cotangents: (C, RT) @ (RT, P) MXU dots against TRANSPOSED
+    # one-hots, accumulated into resident (C, P) output blocks across the
+    # whole grid (contracting over lanes with a (P, RT) one-hot lowers as
+    # unsupported 1-D multi_reductions; the transposed form is a plain
+    # matmul). The (RT, 1) index columns come from a Mosaic-native reshape.
+    def oh_t(idx_l, n):
+        col = jnp.reshape(idx_l, (RT, 1))
+        return (jax.lax.broadcasted_iota(jnp.int32, (RT, n), 1)
+                == col).astype(jnp.float32)
+
+    def scat(ct_comps, oht):
+        rows = jnp.concatenate([_uncomp8(c) for c in ct_comps], axis=0)
+        return jax.lax.dot_general(rows, oht, (((1,), (0,)), ((), ())),
+                                   precision=hp_prec)       # (C, P)
+
+    d_at = scat([g["atE"][c] for c in range(_NCOL)], oh_t(row_i, P_pad))
+    if need_exit:
+        d_at = d_at + scat([g["atX"][c] for c in range(_NCOL)],
+                           oh_t(xrow_i, P_pad))
+    dattr_o[...] += d_at
+    if n_tri:
+        ohTe_t = oh_t(jnp.clip(row_i - tri_start, 0, Pt - 1), Pt)
+        dg = scat(g["g3e"], ohTe_t)                         # (3, Pt)
+        dh = scat([g["h3e"]], ohTe_t)                       # (1, Pt)
+        if need_exit:
+            ohTx_t = oh_t(jnp.clip(xrow_i - tri_start, 0, Pt - 1), Pt)
+            dg = dg + scat(g["g3x"], ohTx_t)
+            dh = dh + scat([g["h3x"]], ohTx_t)
+        dATg_o[...] += dg
+        dHTg_o[...] += dh
+
+    for li in range(L):
+        for j in range(11):
+            r = li * 11 + j
+            dmisc_o[r:r + 1, :] += jnp.sum(g["lr"][li][j], axis=0,
+                                           keepdims=True)
+    dmisc_o[L * 11:L * 11 + 1, :] += jnp.sum(g["dk"], axis=0, keepdims=True)
+
+    @pl.when(k == K - 1)
+    def _primary():
+        do_o[...] = _uncomp_v3(g["o"])
+        dd_o[...] = _uncomp_v3(g["d"])
+
+
+def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
+                    res, u8s, ctA, ctB):
+    """Whole-trace backward: returns (d_attr, d_lights, d_dk, d_oT, d_dT,
+    d_AT, d_HT) for the trace's differentiable inputs."""
+    segs, tri_start, n_tri = layout
+    AT, HT = consts[6], consts[7]
+    ATp = pallas_tri._pad_p(AT)
+    HTp = pallas_tri._pad_p(HT)
+    Rp = ctA.shape[1]
+    P_pad = attr.shape[0]
+    MR = _misc_rows(L)
+    CR = _res_rows(L)
+    dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
+    RT = _pick_tile(_TILE_BWD, Rp)
+    WT = RT // _SUBL
+    f32 = jnp.float32
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def cspec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
+
+    r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
+    resspec = pl.BlockSpec((1, CR, RT), lambda i, k: (K - 1 - k, 0, i))
+    u8spec = pl.BlockSpec((1, 8, RT), lambda i, k: (K - 1 - k, 0, i))
+    acc = lambda shape: pl.BlockSpec(shape, lambda i, k: (0, 0))
+
+    in_specs = [cspec(attr)]
+    args = [attr]
+    if n_tri:
+        ATg, HTg = ATp[:, 6:9], HTp[:, 2:3]
+        in_specs += [cspec(ATg), cspec(HTg)]
+        args += [ATg, HTg]
+    in_specs += [smem, smem, resspec, u8spec, r3, r3]
+    args += [lights, dk_s, res, u8s, ctA, ctB]
+
+    out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
+                  jax.ShapeDtypeStruct((3, Rp), f32),
+                  jax.ShapeDtypeStruct((_NCOL, P_pad), f32)]
+    out_specs = [r3, r3, acc((_NCOL, P_pad))]
+    if n_tri:
+        Pt = ATp.shape[0]
+        out_shapes += [jax.ShapeDtypeStruct((3, Pt), f32),
+                       jax.ShapeDtypeStruct((1, Pt), f32)]
+        out_specs += [acc((3, Pt)), acc((1, Pt))]
+    out_shapes.append(jax.ShapeDtypeStruct((MR, WT), f32))
+    out_specs.append(acc((MR, WT)))
+
+    kern = partial(_trace_bwd_kernel, layout, need_exit, L, K, n_tri,
+                   tri_start)
+    outs = list(pl.pallas_call(
+        kern,
+        grid=(Rp // RT, K),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((80, WT), f32)],
+        interpret=_interpret(),
+    )(*args))
+
+    d_oT, d_dT, d_attr_t = outs[:3]
+    d_attr = d_attr_t.T
+    outs = outs[3:]
+    if n_tri:
+        dg3, dh3 = outs.pop(0).T, outs.pop(0).T
+        z6 = jnp.zeros((dg3.shape[0], 6), f32)
+        d_AT_w = jnp.concatenate([z6, dg3], axis=1)[:AT.shape[0]]
+        d_HT_w = jnp.concatenate([jnp.zeros((dh3.shape[0], 2), f32), dh3],
+                                 axis=1)[:HT.shape[0]]
+    else:
+        d_AT_w, d_HT_w = jnp.zeros_like(AT), jnp.zeros_like(HT)
+    (d_misc,) = outs
+    dm = jnp.sum(d_misc, axis=1)
+    d_lights = dm[:L * 11].reshape(L, 11) if L else jnp.zeros_like(lights)
+    d_dk = dm[L * 11]
+    return d_attr, d_lights, d_dk, d_oT, d_dT, d_AT_w, d_HT_w
+
+
+_TRACE_FNS: dict = {}
+
+
+def _get_trace_fn(layout, need_exit, L, K):
+    """Custom-vjp whole-trace: (consts, attr, lights, dk, oT, dT, u8s) ->
+    (A (3,Rp), B (3,Rp), first_live (1,Rp))."""
+    key = (layout, need_exit, L, K)
+    if key in _TRACE_FNS:
+        return _TRACE_FNS[key]
+
+    @jax.custom_vjp
+    def fn(consts, attr, lights, dk, oT, dT, u8s):
+        return _call_trace(layout, need_exit, L, K, consts, attr, lights,
+                           dk, oT, dT, u8s)
+
+    def fn_fwd(consts, attr, lights, dk, oT, dT, u8s):
+        A, B, fl, res = _call_trace(layout, need_exit, L, K, consts, attr,
+                                    lights, dk, oT, dT, u8s, train=True)
+        return (A, B, fl), (consts, attr, lights, dk, res, u8s)
+
+    def fn_bwd(resid, cts):
+        consts, attr, lights, dk, res, u8s = resid
+        ctA, ctB, _ctfl = cts
+        (d_attr, d_lights, d_dk, d_oT, d_dT, d_AT,
+         d_HT) = _call_trace_bwd(layout, need_exit, L, K, consts, attr,
+                                 lights, dk, res, u8s, ctA, ctB)
+        d_consts = (jnp.zeros_like(consts[0]), jnp.zeros_like(consts[1]),
+                    jnp.zeros_like(consts[2]), jnp.zeros_like(consts[3]),
+                    jnp.zeros_like(consts[4]), jnp.zeros_like(consts[5]),
+                    d_AT, d_HT, jnp.zeros_like(consts[8]),
+                    None if consts[9] is None
+                    else jnp.zeros_like(consts[9]))
+        return (d_consts, d_attr, d_lights, d_dk, d_oT, d_dT,
+                jnp.zeros_like(u8s))
+
+    fn.defvjp(fn_fwd, fn_bwd)
+    _TRACE_FNS[key] = fn
+    return fn
+
+
+def trace_enabled(scene, Rp, inference=False) -> bool:
+    """Whole-trace kernel eligibility on top of :func:`enabled_for`.
+
+    Inference traces run at any padded width; training additionally needs
+    the backward tile's component width (RT/8) lane-aligned on real TPU,
+    i.e. Rp a multiple of 1024, and a prim table narrow enough that the
+    backward kernel's in-kernel (P_pad, 1024) one-hot fetch/scatter fits
+    scoped VMEM (the 1024-lane tile is fixed by the relayout alignment, so
+    wide tables can't shrink it — Instance-class scenes fall back to the
+    per-step scan, whose backward fetches outside the kernel).
+    ``MRT_TRACE_KERNEL=0`` falls back to the per-step scan."""
+    if os.environ.get("MRT_TRACE_KERNEL", "1") != "1":
+        return False
+    if not enabled_for(scene, inference=inference):
+        return False
+    if inference or scene.has_maps:
+        return True
+    if _padded_rows(scene.kind_counts) > 512 and not _interpret():
+        return False
+    return _interpret() or Rp % (_SUBL * 128) == 0
+
+
+def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
+                 tex=None, inference=False):
+    """Whole-trace entry point on lane-major primaries; the scan-free
+    replacement for bounce+1 :func:`step_packed` calls. Returns
+    (A (3,Rp), B (3,Rp), first_live (1,Rp) f32)."""
+    layout = _seg_layout(scene.kind_counts)
+    K = u8s.shape[0]
+    if tex is not None:
+        maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
+        return _call_trace(layout, scene.any_refract, scene.n_lights, K,
+                           consts, attr, lights,
+                           jnp.asarray(decay, jnp.float32), oT, dT, u8s,
+                           tex=tex, maps=maps)
+    fn = _get_trace_fn(layout, scene.any_refract, scene.n_lights, K)
+    return fn(consts, attr, lights, jnp.asarray(decay, jnp.float32),
+              oT, dT, u8s)
 
 
 # --- differentiable wrapper -------------------------------------------------
