@@ -56,11 +56,19 @@ def _load(name):
 
 
 def _coords(chunk, render_wh):
-    # center the chunk in the frame: edge rows can be all-sky (black) in
-    # some scenes, which would make the benched work unrepresentative
+    # production ray layout: a middle slice of the Morton-ordered frame
+    # (the Renderer's chunking), so kernel ray tiles are compact pixel
+    # blocks, not 512x1 strips; middle rather than edge because edge
+    # regions can be all-sky (black) in some scenes
+    from micro_raytracer_tpu.models.render import morton_ray_order
+
     nw, nh = render_wh
+    order = morton_ray_order(nw, nh)
     start = max(0, (nw * nh - chunk) // 2)
-    ys, xs = np.divmod(np.arange(start, start + chunk, dtype=np.int64), nw)
+    pix = order[start:start + chunk]
+    if pix.shape[0] < chunk:
+        pix = np.concatenate([pix, np.zeros(chunk - pix.shape[0], np.int64)])
+    ys, xs = np.divmod(pix, nw)
     return jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
 
 

@@ -26,6 +26,36 @@ from .schema import RenderConfig
 from .tracer import trace_radiance
 
 
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of ``v`` into the even bit positions."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton_ray_order(nw: int, nh: int) -> np.ndarray:
+    """Pixel flat indices (y*nw+x) in Morton (Z-curve) order.
+
+    Ray slot ``i`` renders pixel ``order[i]``. Z-ordering makes every
+    power-of-two run of consecutive ray slots a compact ~square pixel
+    block, so the Pallas kernels' tile-uniform work elision (dead-tile
+    skip, triangle super-block AABB culling) sees spatially coherent
+    primary rays instead of the 512x1-pixel strips row-major order
+    produces. The reference gets the same locality from its dim x dim
+    tile jobs (sampler.rs:28-43).
+    """
+    ys, xs = np.divmod(np.arange(nw * nh, dtype=np.int64), nw)
+    code = _part1by1(xs) | (_part1by1(ys) << np.uint64(1))
+    return np.argsort(code, kind="stable").astype(np.int64)
+
+
+RAY_LAYOUT = "morton1"  # bump when the ray->pixel mapping changes
+
+
 def _pick_chunk(n_pix: int, scene) -> int:
     """Ray-chunk size keeping the per-sweep intermediates within a budget.
 
@@ -132,8 +162,15 @@ class Renderer:
             dp = mesh.shape["dp"]
             self.chunk = -(-self.chunk // dp) * dp  # divisible by dp
         n_pad = -(-self.n_pix // self.chunk) * self.chunk
-        ys, xs = np.divmod(np.arange(n_pad, dtype=np.int64), nw)
+        order = morton_ray_order(nw, nh)
+        # padding ray slots re-render pixel 0; their accum rows are dropped
+        pix = np.concatenate([order, np.zeros(n_pad - self.n_pix, np.int64)])
+        ys, xs = np.divmod(pix, nw)
         coords = np.stack([xs, ys], axis=-1).astype(np.float32)
+        # pixel flat index -> ray slot, for frame assembly
+        inv = np.empty(self.n_pix, np.int64)
+        inv[order] = np.arange(self.n_pix, dtype=np.int64)
+        self._inv_order = jnp.asarray(inv)
         self._coords = jnp.asarray(coords).reshape(-1, self.chunk, 2)
         self.n_chunks = self._coords.shape[0]
         self._accum = [jnp.zeros((self.chunk, 3), jnp.float32)
@@ -191,7 +228,8 @@ class Renderer:
     # -- image -------------------------------------------------------------
     def _device_frame(self):
         """Running radiance sum as a device-resident (nh, nw, 3) array."""
-        flat = jnp.concatenate(self._accum, axis=0)[: self.n_pix]
+        flat = jnp.concatenate(self._accum, axis=0)
+        flat = flat[self._inv_order]  # Morton ray order -> row-major pixels
         nw, nh = self.render_wh
         return flat.reshape(nh, nw, 3)
 
@@ -217,7 +255,8 @@ class Renderer:
         np.savez(path, accum=np.asarray(jnp.concatenate(self._accum, 0)),
                  count=self.count, key=np.asarray(jax.random.key_data(self.key)),
                  key_impl=str(jax.random.key_impl(self.key)),
-                 render_wh=np.asarray(self.render_wh), chunk=self.chunk)
+                 render_wh=np.asarray(self.render_wh), chunk=self.chunk,
+                 layout=RAY_LAYOUT)
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
@@ -228,6 +267,12 @@ class Renderer:
                 f"saved state was rendered at {saved_wh}, current render "
                 f"resolution is {tuple(self.render_wh)} — resume with the "
                 "same --res/--ssaa settings")
+        saved_layout = str(data["layout"]) if "layout" in data else "rowmajor"
+        if saved_layout != RAY_LAYOUT:
+            raise ValueError(
+                f"saved state uses ray layout {saved_layout!r}, this build "
+                f"renders in {RAY_LAYOUT!r} — the accumulator rows would map "
+                "to the wrong pixels; restart the render")
         want = self.n_chunks * self.chunk
         if data["accum"].shape[0] != want:
             raise ValueError(

@@ -51,6 +51,48 @@ def test_progressive_accumulation_and_state():
     np.testing.assert_array_equal(r2.img(), img2)
 
 
+def test_morton_layout_maps_slots_to_pixels():
+    """Ray slots are Morton-ordered; frame assembly must invert it exactly.
+
+    Stuff each accumulator row with its target pixel's flat index and check
+    ``framebuffer`` puts every row at that pixel — a wrong permutation (or a
+    missing inverse) scrambles the image while leaving every statistic
+    (goldens' MAE included) almost unchanged, so this is the direct test.
+    """
+    import jax.numpy as jnp
+
+    from micro_raytracer_tpu.models.render import morton_ray_order
+
+    cfg = small_default(res=(97, 53))  # odd sizes: exercise the bounds filter
+    r = Renderer(cfg)
+    nw, nh = r.render_wh
+    order = morton_ray_order(nw, nh)
+    assert np.array_equal(np.sort(order), np.arange(nw * nh))
+    # Z-order locality: any aligned 256-slot run spans a small bounding box
+    ys, xs = np.divmod(order[:256], nw)
+    assert (xs.max() - xs.min() + 1) * (ys.max() - ys.min() + 1) <= 1024
+    flat = np.zeros((r.n_chunks * r.chunk, 3), np.float32)
+    flat[: r.n_pix, 0] = order.astype(np.float32)
+    per = flat.reshape(r.n_chunks, r.chunk, 3)
+    r._accum = [jnp.asarray(per[i]) for i in range(r.n_chunks)]
+    got = r.framebuffer()[:, :, 0]
+    want = np.arange(nw * nh, dtype=np.float32).reshape(nh, nw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_load_state_rejects_other_layout():
+    cfg = small_default()
+    r = Renderer(cfg)
+    r.execute()
+    path = "/tmp/mrt_state_layout.npz"
+    r.save_state(path)
+    data = dict(np.load(path))
+    data["layout"] = "rowmajor"
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="ray layout"):
+        Renderer(cfg).load_state(path)
+
+
 def test_ssaa_downsample_shape():
     cfg = small_default(res=(64, 36), sample=1, ssaa=2.0)
     img = render_image(cfg)
