@@ -74,6 +74,61 @@ def _any_hit(scene, frames, o, d, tri_pack=None):
     return intersect.any_hit(scene, frames, o, d, tri_pack=tri_pack)
 
 
+def _resort_on(scene: SceneArrays) -> bool:
+    """Whether to re-sort rays between bounce steps (see _resort_perm).
+
+    ``MRT_RESORT=1`` forces it on, ``0`` off. Default: OFF — measured a
+    2x LOSS on Mesh.json (1.64M vs 3.28M rays/s, TPU v5e): the per-step
+    argsort plus ~10 lane gathers cost more than the tile-uniform culling
+    they re-enable recovers, because interior live tiles stay live after
+    a diffuse bounce regardless of ordering (BASELINE.md round-2 table).
+    Kept opt-in: radiance is bitwise-identical either way, and scenes
+    with sparser live sets may yet profit.
+    """
+    import os
+
+    v = os.environ.get("MRT_RESORT", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return False
+
+
+def _resort_perm(ox, oy, oz, dx, dy, dz, live):
+    """Lane permutation restoring wavefront coherence mid-trace.
+
+    Sort key: live rays first, ordered by Morton cell of the ray origin
+    inside the live wavefront's bounding box (8^3 grid) then direction
+    octant; dead rays last. Applying it between bounce steps makes each
+    kernel ray tile spatially tight again, so the step kernel's
+    tile-uniform work elision (whole-tile dead skip, triangle super-block
+    AABB culling) keeps firing after diffuse bounces scatter the rays the
+    camera laid out coherently. The reference never needs this: its
+    per-ray recursion (rt.rs:1014-1066) has no SIMD tiles to keep uniform.
+
+    All inputs are (R,) vectors (lane-major rows sliced by the caller);
+    returns an int32 (R,) permutation, stable within equal keys.
+    """
+    alive = live > 0.5
+    big = jnp.float32(3.4e38)
+
+    def axis_cell(v):
+        lo = jnp.min(jnp.where(alive, v, big))
+        hi = jnp.max(jnp.where(alive, v, -big))
+        span = jnp.maximum(hi - lo, 1e-6)
+        c = ((v - lo) / span * 8.0).astype(jnp.int32)
+        return jnp.clip(c, 0, 7)
+
+    def spread3(v):  # 3-bit value -> bits at positions 0, 3, 6
+        return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
+
+    morton = (spread3(axis_cell(ox)) | (spread3(axis_cell(oy)) << 1)
+              | (spread3(axis_cell(oz)) << 2))
+    octant = ((dx > 0).astype(jnp.int32) * 4 + (dy > 0).astype(jnp.int32) * 2
+              + (dz > 0).astype(jnp.int32))
+    key = jnp.where(alive, morton * 8 + octant, jnp.int32(1 << 30))
+    return jnp.argsort(key, stable=True).astype(jnp.int32)
+
+
 def _light_dirs_to(scene: SceneArrays, point):
     """Un-normalized vector toward each light from ``point`` (rt.rs:975-978).
 
@@ -299,6 +354,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
     R = orig.shape[0]
     decay = 1.0 - jnp.minimum(loss, 1.0)
     steps = bounce + 1
+    resort = _resort_on(scene)
 
     from ..ops import pallas_step
 
@@ -330,7 +386,8 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
             us.append(u8)
         u8s = jnp.stack(us)                                # (steps, 8, Rp)
 
-        if pallas_step.trace_enabled(scene, Rp, inference=inference):
+        if (not resort
+                and pallas_step.trace_enabled(scene, Rp, inference=inference)):
             # whole-trace megakernel: all bounce+1 steps in ONE pallas_call
             # (grid = ray tiles x steps, carry in VMEM scratch) — no scan,
             # no per-step carry round-trips, residuals streamed in-kernel;
@@ -347,41 +404,71 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                              jnp.broadcast_to(scene.sky_color, (R, 3)))
 
         def stepk(carry, xs):
-            rayT, A_T, B_T, firstT = carry
+            rayT, A_T, B_T, firstT, ridT = carry
             i, u8 = xs
+            if resort:
+                # each ray keeps its own uniform stream across permutations
+                u8 = u8[:, ridT]
             rayT2, A2, B2 = pallas_step.step_packed(
                 scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
                 tex=tex)
             firstT = jnp.where(i == 0, rayT2[3], firstT)
-            return (rayT2, A2, B2, firstT), None
+            if resort:
+                perm = _resort_perm(rayT2[0][0], rayT2[0][1], rayT2[0][2],
+                                    rayT2[1][0], rayT2[1][1], rayT2[1][2],
+                                    rayT2[3][0])
+                rayT2 = tuple(a[:, perm] for a in rayT2)
+                A2, B2 = A2[:, perm], B2[:, perm]
+                firstT = firstT[:, perm]
+                ridT = ridT[perm]
+            return (rayT2, A2, B2, firstT, ridT), None
 
         step_fn = jax.checkpoint(stepk) if remat else stepk
         one = jnp.ones((1, Rp), orig.dtype)
         init = ((o_p.T, d_p.T, one, one),
                 jnp.ones((3, Rp), orig.dtype), jnp.zeros((3, Rp), orig.dtype),
-                jnp.zeros((1, Rp), orig.dtype))
-        (_, A_T, B_T, firstT), _ = jax.lax.scan(
+                jnp.zeros((1, Rp), orig.dtype), jnp.arange(Rp, dtype=jnp.int32))
+        (_, A_T, B_T, firstT, ridT), _ = jax.lax.scan(
             step_fn, init, (jnp.arange(steps), u8s))
+        if resort:
+            # lane j holds ray ridT[j]: gather lanes back to ray order
+            inv = jnp.zeros((Rp,), jnp.int32).at[ridT].set(
+                jnp.arange(Rp, dtype=jnp.int32))
+            A_T, B_T, firstT = A_T[:, inv], B_T[:, inv], firstT[:, inv]
         A, B = A_T.T[:R], B_T.T[:R]
         first_live = firstT[0, :R] > 0.5
     else:
         def step(carry, i):
-            ray, A, B, first_live = carry
+            ray, A, B, first_live, rid = carry
             u = rng.uniform(jax.random.fold_in(key_trace, i), (R, 7))
             u_emit = rng.uniform(jax.random.fold_in(key_shade, i), (R,))
+            if resort:
+                u, u_emit = u[rid], u_emit[rid]
             ray2, A2, B2, live = fused_step_reference(
                 scene, frames, attrs, decay, ray, A, B, u, u_emit,
                 tri_pack=tri_pack)
             first_live = jnp.where(i == 0, live, first_live)
-            return (ray2, A2, B2, first_live), None
+            if resort:
+                o2, d2 = ray2[0], ray2[1]
+                perm = _resort_perm(o2[:, 0], o2[:, 1], o2[:, 2],
+                                    d2[:, 0], d2[:, 1], d2[:, 2],
+                                    ray2[3].astype(o2.dtype))
+                ray2 = tuple(a[perm] for a in ray2)
+                A2, B2 = A2[perm], B2[perm]
+                first_live, rid = first_live[perm], rid[perm]
+            return (ray2, A2, B2, first_live, rid), None
 
         step_fn = jax.checkpoint(step) if remat else step
         init = ((orig, dirs, jnp.ones((R,), orig.dtype),
                  jnp.ones((R,), bool)),
                 jnp.ones((R, 3), orig.dtype), jnp.zeros((R, 3), orig.dtype),
-                jnp.zeros((R,), bool))
-        (_, A, B, first_live), _ = jax.lax.scan(step_fn, init,
-                                                jnp.arange(steps))
+                jnp.zeros((R,), bool), jnp.arange(R, dtype=jnp.int32))
+        (_, A, B, first_live, rid), _ = jax.lax.scan(step_fn, init,
+                                                     jnp.arange(steps))
+        if resort:
+            inv = jnp.zeros((R,), jnp.int32).at[rid].set(
+                jnp.arange(R, dtype=jnp.int32))
+            A, B, first_live = A[inv], B[inv], first_live[inv]
     base = jnp.broadcast_to(scene.sky_color * scene.sky_pwr, (R, 3))
     col = B + A * base
     # empty path -> bare sky color, *without* pwr (rt.rs:957-959)

@@ -158,3 +158,49 @@ def test_mesh_radiance_mxu_matches_mt_sweep(monkeypatch):
     # identical stochastic choices; tiny t differences can flip EPS-window
     # face tests only at geometric boundaries (none in this view)
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_resort_radiance_bitwise_identical(monkeypatch):
+    """MRT_RESORT=1 (mid-trace wavefront re-sort) is a pure permutation.
+
+    Each ray keeps its own uniform stream across lane permutations and the
+    frame values are gathered back to ray order, so radiance must be
+    BITWISE identical to the unsorted trace — same stochastic choices,
+    same float op order per ray. (Perf is scene-dependent and measured in
+    BASELINE.md; default stays off.)
+    """
+    from micro_raytracer_tpu.models.compiler import compile_camera
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    cfg = schema.RenderConfig.from_json({
+        "frame": {"res": [64, 64]},
+        "scene": {
+            "renderer": [
+                {"type": "mesh", "mesh": _TETRA,
+                 "mat": {"glass": 0.08, "opacity": 0.0}},
+                {"type": "sphere", "r": 0.3, "pos": [0.6, 0.3, 0.2],
+                 "mat": {"rough": 0.5, "albedo": [0.8, 0.4, 0.3]}},
+                {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+                 "mat": {"rough": 1.0}},
+            ],
+            "light": [{"type": "point", "pos": [-0.4, -1, 0.8], "pwr": 0.6}],
+            "sky": {"color": [0.2, 0.25, 0.35], "pwr": 0.5},
+        },
+    })
+    scene = compile_scene(cfg.scene)
+    cam = compile_camera(cfg.frame.cam)
+    xs, ys = np.meshgrid(np.arange(8, 56, 4), np.arange(8, 56, 4))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    for inference in (True, False):
+        def run():
+            return np.asarray(trace_radiance(scene, cam, (64, 64), 5,
+                                             jnp.float32(0.15), coords, key,
+                                             inference=inference))
+
+        monkeypatch.setenv("MRT_RESORT", "0")
+        a = run()
+        monkeypatch.setenv("MRT_RESORT", "1")
+        b = run()
+        np.testing.assert_array_equal(a, b)
