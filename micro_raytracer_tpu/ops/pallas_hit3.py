@@ -158,11 +158,12 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
     only written when ``need_exit``.
 
     ``tbb`` (optional, entry-only sweeps): the super-block AABB table from
-    :func:`_tri_superbounds`. Each group of ``_SUPER`` triangle blocks runs
-    under a ``lax.cond`` on a tile-wide slab test — if no ray in the tile
-    can touch the super's AABB, its 128 triangles are skipped wholesale.
-    Exit sweeps never cull: the exit pass re-reads the per-block ``tx_s``
-    stash, which skipped blocks would leave stale.
+    :func:`_tri_superbounds`. Every ``_CB``-row block is slab-tested
+    against the tile up front; the touched block ids are compacted into an
+    SMEM list and a dynamic-trip-count loop sweeps only those — untouched
+    blocks cost one bulk slab test, no ``lax.cond`` region. Exit sweeps
+    never cull: the exit pass re-reads the per-block ``tx_s`` stash, which
+    skipped blocks would leave stale.
 
     ``live`` (optional (1, RT) bool): lanes whose sweep result the caller
     masks away anyway (dead bounce-scan rays carry garbage directions);
@@ -217,44 +218,74 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                     jnp.where(upd, bg, g_best))
 
         n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
-        cull = (tbb is not None and not need_exit and n_blocks > _SUPER)
+        n_cb = (n_tri + _CB - 1) // _CB
+        cull = (tbb is not None and not need_exit
+                and 1 < n_cb <= _CAND_MAX)
         if not cull:
             carry = jax.lax.fori_loop(0, n_blocks, tri_body, carry)
         else:
-            n_sup = (n_blocks + _SUPER - 1) // _SUPER
+            # Compacted candidate-block list: slab-test every _CB-row block
+            # against the whole tile UP FRONT (bound = the dense kinds'
+            # best t, so blocks wholly behind a closer sphere/plane/box hit
+            # drop out), compact the touched block ids into SMEM, then run
+            # a dynamic-trip-count loop over ONLY those blocks. No scf.if
+            # regions at all — the lax.cond-per-super scheme paid ~150
+            # cycles per region even when skipped (BASELINE.md), and its
+            # n_blocks > 16 gate meant small meshes (Mesh.json: 2 blocks of
+            # 512) never culled in the first place.
             invd = [1.0 / jnp.where(d[k:k + 1, :] == 0.0, EPS, d[k:k + 1, :])
                     for k in range(3)]
+            t_bound = carry[0]
+            iota_cb = jax.lax.broadcasted_iota(jnp.int32, (_CB, RT), 0)
 
-            def sup_body(sb, carry):
-                tb = tbb[pl.ds(sb, 1), :]               # (1, 8)
-                tmin = None
-                tmax = None
-                for k in range(3):
-                    t1 = (tb[0:1, k:k + 1] - o[k:k + 1, :]) * invd[k]
-                    t2 = (tb[0:1, 3 + k:4 + k] - o[k:k + 1, :]) * invd[k]
-                    near = jnp.minimum(t1, t2)
-                    far = jnp.maximum(t1, t2)
-                    tmin = near if tmin is None else jnp.maximum(tmin, near)
-                    tmax = far if tmax is None else jnp.minimum(tmax, far)
-                # a super whose AABB starts beyond the lane's current best
-                # can't improve the min — and occlusion lanes that already
-                # found any hit (t_best < BIG) stop asking for more work
-                touch = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= carry[0])
-                if live is not None:
-                    touch &= live
-                any_hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
+            def cb_body(b, c):
+                t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b, tb=_CB)
+                rows = iota_cb + (tri_start + b * _CB)
+                gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
+                t_best, r_best, g_best = c
+                tm = jnp.where(ok, t, _BIG)
+                bm = jnp.min(tm, axis=0, keepdims=True)
+                br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
+                             keepdims=True)
+                bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
+                             keepdims=True)
+                upd = bm < t_best
+                return (jnp.where(upd, bm, t_best),
+                        jnp.where(upd, br, r_best),
+                        jnp.where(upd, bg, g_best))
 
-                def run(c):
-                    def blk(j, c2):
-                        # tail supers clamp to the last block: min-reduces
-                        # are idempotent, so re-testing it is harmless
-                        b = jnp.minimum(sb * _SUPER + j, n_blocks - 1)
-                        return tri_body(b, c2)
-                    return jax.lax.fori_loop(0, _SUPER, blk, c)
+            def scoped(cand_ref):
+                cnt = jnp.int32(0)
+                for s in range(n_cb):                   # static unroll
+                    tb = tbb[s:s + 1, :]                # (1, 8)
+                    tmin = None
+                    tmax = None
+                    for k in range(3):
+                        t1 = (tb[0:1, k:k + 1] - o[k:k + 1, :]) * invd[k]
+                        t2 = (tb[0:1, 3 + k:4 + k] - o[k:k + 1, :]) * invd[k]
+                        near = jnp.minimum(t1, t2)
+                        far = jnp.maximum(t1, t2)
+                        tmin = near if tmin is None else jnp.maximum(tmin,
+                                                                     near)
+                        tmax = far if tmax is None else jnp.minimum(tmax, far)
+                    # a block whose AABB starts beyond the lane's dense-kind
+                    # best can't improve the min; occlusion lanes that found
+                    # any hit already stop asking for more work
+                    touch = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= t_bound)
+                    if live is not None:
+                        touch &= live
+                    hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
+                    # branch-free compaction: untouched blocks write to the
+                    # trash slot (_CAND_MAX), so every meaningful slot is
+                    # stored exactly once — repeated stores to one address
+                    # gave Mosaic license to reorder and corrupted the list
+                    cand_ref[jnp.where(hit, cnt, _CAND_MAX)] = jnp.int32(s)
+                    cnt = cnt + hit.astype(jnp.int32)
+                return jax.lax.fori_loop(
+                    0, cnt, lambda j, c: cb_body(cand_ref[j], c), carry)
 
-                return jax.lax.cond(any_hit, run, lambda c: c, carry)
-
-            carry = jax.lax.fori_loop(0, n_sup, sup_body, carry)
+            carry = pl.run_scoped(scoped,
+                                  pltpu.SMEM((_CAND_MAX + 1,), jnp.int32))
 
     te, row, wg = carry
     row = jnp.where(row == _BIGI, 0, row)
@@ -309,12 +340,16 @@ def _hit_kernel(layout, need_exit, has_tbb, *refs):
     xrow_o[...] = xrow
 
 
-# Triangle-culling granularity: prim-blocks (8 tris) per super-block.
-# Morton ordering (compiler._morton_order) makes consecutive blocks
-# spatially tight, so one conservative world-space AABB covers a
-# 128-triangle chunk well. Round 1's per-8-tri lax.cond lost to its own
-# overhead (BASELINE.md); 16 blocks per cond amortizes the branch 16x.
-_SUPER = int(os.environ.get("MRT_TRI_SUPER", "16"))
+# Triangle-culling granularity: rows per cull block. Morton ordering
+# (compiler._morton_order) makes consecutive rows spatially tight, so one
+# conservative world-space AABB covers a 128-triangle chunk well. The
+# candidate-list scheme (sweep_closest) slab-tests every block up front
+# and loops over only the touched ones, so unlike the earlier
+# lax.cond-per-super design there is no per-block branch to amortize.
+_CB = int(os.environ.get("MRT_TRI_CB", "128"))
+# static unroll bound for the candidate slab tests / SMEM list size;
+# kernel-eligible scenes are bounded by _MAX_SCRATCH_ROWS anyway
+_CAND_MAX = 64
 
 
 def _tri_superbounds(scene, frames):
@@ -339,7 +374,7 @@ def _tri_superbounds(scene, frames):
     r2 = jnp.cross(c0, c1)
     det = jnp.sum(c0 * r0, axis=-1, keepdims=True)
     det = jnp.where(det == 0.0, 1.0, det)
-    span = _SUPER * PRIM_BLOCK
+    span = _CB
     big = jnp.float32(_BIG)
     ws = []
     for v in (scene.prim_a[s], scene.prim_b[s], scene.prim_c[s]):

@@ -118,15 +118,19 @@ def _pad_p(x, fill=0.0):
                    constant_values=fill)
 
 
-def _tri_block(A_r, H_r, thr_r, o, d, b):
-    """(t, ok) of prim block ``b`` vs the ray tile, (PRIM_BLOCK, RAY_TILE).
+def _tri_block(A_r, H_r, thr_r, o, d, b, tb=None):
+    """(t, ok) of prim block ``b`` vs the ray tile, (tb, RAY_TILE).
 
     ``o``/``d`` are (3, RAY_TILE) lane-major; per-triangle constants are
-    (PRIM_BLOCK, 1) sublane columns; every product is a VPU broadcast-FMA —
+    (tb, 1) sublane columns; every product is a VPU broadcast-FMA —
     exact f32, no MXU passes (in-kernel K=3 dots measured slower AND the
     MXU truncates f32 to bf16 by default, the fetch_attrs trap).
+    ``tb`` is the block row count (default PRIM_BLOCK; the candidate-list
+    culling in pallas_hit3 sweeps finer 128-row blocks).
     """
-    sl = pl.ds(b * PRIM_BLOCK, PRIM_BLOCK)
+    if tb is None:
+        tb = PRIM_BLOCK
+    sl = pl.ds(b * tb, tb)
     A = A_r[sl, :]                                       # (PB, 9)
     oc = [o[k:k + 1, :] for k in range(3)]               # (1, RT)
     dc = [d[k:k + 1, :] for k in range(3)]

@@ -114,8 +114,8 @@ def test_hit3_tracer_radiance_matches_dense(mixed_scene, monkeypatch):
 
 
 def test_hit3_tri_culling_matches_dense(monkeypatch):
-    """>128 triangles (n_blocks > _SUPER) activate the super-block AABB
-    culling path; clustered geometry makes real skips happen, an instanced
+    """>128 triangles (n_cb > 1) activate the candidate-list AABB culling
+    path; clustered geometry makes real skips happen, an instanced
     rotation exercises the world-vertex inverse, and results must be
     IDENTICAL to the dense sweep (culling is conservative, not lossy)."""
     monkeypatch.setenv("MRT_TRI_MXU", "1")
