@@ -695,11 +695,10 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # measured per-scene-class optimum (BASELINE.md): 1024-lane tiles
-    # halve the dead-skip scf.if count (wins on tri-free scenes), 512
-    # keeps the triangle super-block culling fine-grained enough to bite
-    want = (_TILE_FWD if "MRT_STEP_RT" in os.environ
-            else (512 if layout[2] else 1024))
+    # 1024-lane tiles halve the dead-skip scf.if count; since the
+    # candidate-list culling removed the per-super scf.ifs, they win on
+    # triangle scenes too (Mesh 3.88 -> 4.12M; 2048 regresses, BASELINE.md)
+    want = _TILE_FWD if "MRT_STEP_RT" in os.environ else 1024
     RT = _pick_tile(want, Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
@@ -879,8 +878,9 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    want = (_TILE_FWD if "MRT_STEP_RT" in os.environ
-            else (512 if layout[2] else 1024))
+    # same tile policy as _call_step: candidate-list culling removed the
+    # per-super scf.ifs, so 1024 lanes win for triangle scenes too
+    want = _TILE_FWD if "MRT_STEP_RT" in os.environ else 1024
     RT = _pick_tile(want, Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
