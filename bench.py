@@ -37,7 +37,8 @@ import numpy as np
 
 BASELINE_RAYS_PER_S = 2.0e6  # estimated Rust reference, 24 CPU threads
 SAMPLES_FWD = 64   # forward calls amortize dispatch like production renders
-SAMPLES_BWD = 16   # residuals for 16 fused samples fit HBM at chunk 2^17
+SAMPLES_BWD = 64   # per-sample grads accumulate in-loop: residency is one
+                   # sample's residuals regardless of the fused count
 HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
 
 EXAMPLES = "/root/reference/example"
@@ -164,18 +165,27 @@ def main():
             # forward+backward: grads w.r.t. every trainable scene leaf
             params, _ = shard.split_params(scene)
 
+            # production grad-accumulation shape: per-sample grads summed
+            # in-loop (identical gradients to differentiating the summed
+            # loss — tools/gradshape_check.py — but only ONE sample's trace
+            # residuals are ever live, and it measures ~12% faster)
             def fwdbwd(params, coords, key):
-                def loss_fn(p):
-                    s = shard.merge_params(scene, p)
-
-                    def body(i, acc):
+                def sample_grad(i):
+                    def loss_fn(p):
+                        s = shard.merge_params(scene, p)
                         rad = trace_radiance(s, cam, render_wh, bounce, loss,
                                              coords, jax.random.fold_in(key, i))
-                        return acc + jnp.mean(rad ** 2)
+                        return jnp.mean(rad ** 2)
 
-                    return jax.lax.fori_loop(0, SAMPLES_BWD, body, 0.0)
+                    return jax.grad(loss_fn)(params)
 
-                return jax.grad(loss_fn)(params)
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+                def body(i, acc):
+                    return jax.tree_util.tree_map(jnp.add, acc,
+                                                  sample_grad(i))
+
+                return jax.lax.fori_loop(0, SAMPLES_BWD, body, zero)
 
             bwd_raw = _time_best(jax.jit(fwdbwd), params, coords, key)
             bwd_s = max(bwd_raw - overhead, 0.25 * bwd_raw)
