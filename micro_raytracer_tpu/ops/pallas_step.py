@@ -448,6 +448,10 @@ def _pow32(x):
     return x16 * x16
 
 
+def _comp_fwd_on() -> bool:
+    return os.environ.get("MRT_COMP_FWD", "1") == "1"
+
+
 def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
                o, d, pwr, live, A, B, u, want_resid=False):
     """One full bounce step on lane-major (C, RT) values — the shared body
@@ -456,7 +460,19 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     ``(fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, text_r,
     tmeta, lights)``. Returns ``(o2, d2, pwr2, live2f, A2, B2, resid)``
     with ``resid = (te, tx, row, xrow, [lok_f32...])`` when requested
-    (the backward megakernel's residuals)."""
+    (the backward megakernel's residuals).
+
+    Layout split: the sweeps, one-hot fetches and shadow rays run
+    LANE-MAJOR (primitive rows on sublanes need the rays on lanes), but
+    the per-ray shading/sampling glue — normals, importance sampling,
+    refraction, direct light, the fold — is pure elementwise math whose
+    (1, RT) rows waste 7/8 of every (8, 128)-tiled vector register. When
+    the tile is wide enough for the component relayout (RT a multiple of
+    1024 on real TPU), that tail runs in (8, RT/8) component blocks via
+    :func:`_step_comp` — the same function the backward megakernel
+    replays, with the analytic winner-t reconstruction skipped. Textured
+    scenes keep the lane-major tail (the texel fetch is MXU lane-major).
+    """
     (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
      text_r, tmeta, lights) = tables
     RT = o.shape[1]
@@ -479,21 +495,6 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     atE = fetch(row)
     te_f = jnp.where(live_i, te, 1.0)
     p_e = o + d * te_f
-    n_e = _normal_rows(layout, atE, p_e, row)
-    alb_e = _rows3(atE, _C_ALB)
-    rgh_e = atE[_C_RGH:_C_RGH + 1]
-    met_raw_e = atE[_C_MET:_C_MET + 1]
-    met_e = met_raw_e
-    opa_e = atE[_C_OPA:_C_OPA + 1]
-    emi_e = atE[_C_EMI:_C_EMI + 1]
-    if maps:
-        # texture overrides at the entry point; the dielectric test below
-        # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
-        u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
-        text = text_r[...]
-        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
-            maps, text, tmeta, atE, u_uv, v_uv,
-            alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
 
     # per-light shadow occlusion from the entry hit (rt.rs:1027-1046);
     # the light table lives in SMEM so components read as true scalars
@@ -522,6 +523,55 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
                  xrow if need_exit else row,
                  [lk.astype(jnp.float32) for lk in light_ok])
 
+    atX = fetch(xrow) if need_exit else None
+
+    if (not maps and _comp_fwd_on()
+            and (RT % (_SUBL * 128) == 0 or _interpret())):
+        # component-form tail: relayout the fetched bundles and the carry
+        # once ((C, RT) -> (C*8, RT/8) is a contiguity-preserving reshape
+        # Mosaic lowers natively), run the glue at full register width,
+        # relayout the outputs back
+        W = RT // _SUBL
+        cb = lambda x: jnp.reshape(x, (x.shape[0] * _SUBL, W))
+        cb1 = lambda x: jnp.reshape(x, (_SUBL, W))
+        ones8 = jnp.ones((_SUBL, W), jnp.float32)
+        pc = {"o": _v3(cb(o), 0), "d": _v3(cb(d), 0), "pwr": cb1(pwr),
+              "A": _v3(cb(A), 0), "B": _v3(cb(B), 0), "dk": dk * ones8,
+              "lr": [[lights[li, j] * ones8 for j in range(11)]
+                     for li in range(L)],
+              "atE": cb(atE)}
+        if need_exit:
+            pc["atX"] = cb(atX)
+        ub = cb(u)
+        u_c = [_att(ub, j) for j in range(8)]
+        live_c = cb1(live.astype(jnp.float32)) > 0.5
+        lok_c = [cb1(lk.astype(jnp.float32)) > 0.5 for lk in light_ok]
+        rowf = cb1(row.astype(jnp.float32))
+        xrowf = cb1(xrow.astype(jnp.float32)) if need_exit else rowf
+        o2c, d2c, pwr2c, A2c, B2c = _step_comp(
+            layout, need_exit, L, pc, u_c, live_c, cb1(te),
+            cb1(tx) if need_exit else cb1(te), rowf, xrowf, lok_c,
+            analytic=False)
+        return (_uncomp_v3(o2c), _uncomp_v3(d2c), _uncomp8(pwr2c),
+                live_i.astype(jnp.float32), _uncomp_v3(A2c),
+                _uncomp_v3(B2c), resid)
+
+    n_e = _normal_rows(layout, atE, p_e, row)
+    alb_e = _rows3(atE, _C_ALB)
+    rgh_e = atE[_C_RGH:_C_RGH + 1]
+    met_raw_e = atE[_C_MET:_C_MET + 1]
+    met_e = met_raw_e
+    opa_e = atE[_C_OPA:_C_OPA + 1]
+    emi_e = atE[_C_EMI:_C_EMI + 1]
+    if maps:
+        # texture overrides at the entry point; the dielectric test below
+        # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
+        u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
+        text = text_r[...]
+        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
+            maps, text, tmeta, atE, u_uv, v_uv,
+            alb_e, rgh_e, met_e, atE[_C_GLS:_C_GLS + 1], opa_e, emi_e)
+
     # reflect from the entry hit (rt.rs:559-572)
     diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
     rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
@@ -529,7 +579,6 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
 
     if need_exit:
-        atX = fetch(xrow)
         tx_f = jnp.where(live_i, tx, 1.0)
         p_x = o + d * tx_f
         n_x = _normal_rows(layout, atX, p_x, xrow)
@@ -1093,7 +1142,7 @@ def _winner_t_comp(layout, at, o, d, row, want_exit, g3=None, h3=None):
 
 
 def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
-               lok):
+               lok, analytic=True):
     """Sweep-free bounce step from saved residuals (component form).
 
     ``p`` holds the differentiable inputs: the pre-fetched winner/exit
@@ -1107,6 +1156,11 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     cotangents d_atE/d_atX come back as dense bundles and the caller
     scatters them to the attribute matrix with one XLA-side one-hot
     matmul over the whole ray batch.
+
+    ``analytic=False`` (the component-form FORWARD body, not replayed
+    under ``jax.vjp``) skips the analytic winner-t reconstruction and
+    uses the sweep's ``te_sv``/``tx_sv`` directly — value-identical, and
+    no Woop plane rows are needed.
     """
     o, d = p["o"], p["d"]
     pwr, A, B = p["pwr"], p["A"], p["B"]
@@ -1114,9 +1168,12 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     live_i = live & hit
 
     atE = p["atE"]
-    te_ad = _winner_t_comp(layout, atE, o, d, row, False,
-                           p.get("g3e"), p.get("h3e"))
-    te = te_ad + jax.lax.stop_gradient(te_sv - te_ad)
+    if analytic:
+        te_ad = _winner_t_comp(layout, atE, o, d, row, False,
+                               p.get("g3e"), p.get("h3e"))
+        te = te_ad + jax.lax.stop_gradient(te_sv - te_ad)
+    else:
+        te = te_sv
     te_f = jnp.where(live_i, te, 1.0)
     p_e = _vadd(o, _vscale(d, te_f))
     n_e = _normal_comp(layout, atE, p_e, row)
@@ -1133,9 +1190,12 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
 
     if need_exit:
         atX = p["atX"]
-        tx_ad = _winner_t_comp(layout, atX, o, d, xrow, True,
-                               p.get("g3x"), p.get("h3x"))
-        tx = tx_ad + jax.lax.stop_gradient(tx_sv - tx_ad)
+        if analytic:
+            tx_ad = _winner_t_comp(layout, atX, o, d, xrow, True,
+                                   p.get("g3x"), p.get("h3x"))
+            tx = tx_ad + jax.lax.stop_gradient(tx_sv - tx_ad)
+        else:
+            tx = tx_sv
         tx_f = jnp.where(live_i, tx, 1.0)
         p_x = _vadd(o, _vscale(d, tx_f))
         n_x = _normal_comp(layout, atX, p_x, xrow)
