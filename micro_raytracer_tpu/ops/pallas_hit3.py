@@ -149,7 +149,8 @@ def _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d):
 
 
 def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
-                  AT, HT, thr, o, d, tx_s, tbb=None, live=None):
+                  AT, HT, thr, o, d, tx_s, tbb=None, live=None,
+                  occl=False):
     """In-kernel closest-hit sweep over every kind segment.
 
     ``o``/``d`` are (3, RT) lane-major rows; returns (te, row, wg, tx, xrow)
@@ -160,15 +161,26 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
     ``tbb`` (optional, entry-only sweeps): the super-block AABB table from
     :func:`_tri_superbounds`. Every ``_CB``-row block is slab-tested
     against the tile up front; the touched block ids are compacted into an
-    SMEM list and a dynamic-trip-count loop sweeps only those — untouched
-    blocks cost one bulk slab test, no ``lax.cond`` region. Exit sweeps
-    never cull: the exit pass re-reads the per-block ``tx_s`` stash, which
-    skipped blocks would leave stale.
+    SMEM list SORTED by the tile's entry distance into the block, and a
+    dynamic-trip-count loop sweeps only those, stopping as soon as the
+    nearest unswept block begins beyond every live lane's current best t
+    (each lane's own slab entry lower-bounds its hits, so no reachable
+    winner is skipped). Untouched blocks cost one bulk slab test, no
+    ``lax.cond`` region. Exit sweeps never cull: the exit pass re-reads
+    the per-block ``tx_s`` stash, which skipped blocks would leave stale.
 
     ``live`` (optional (1, RT) bool): lanes whose sweep result the caller
     masks away anyway (dead bounce-scan rays carry garbage directions);
     excluding them from the slab test is what makes culling bite at high
     bounce depth, where most of a tile is dead.
+
+    ``occl``: occlusion (shadow) query — the caller only tests
+    ``te >= BIG/2``, so lanes that already found ANY hit stop demanding
+    work: blocks touched only by occluded lanes drop out of the candidate
+    list and the sweep loop ends once every live lane is occluded (the
+    reported t may then come from a farther block than the true closest —
+    indistinguishable through the hit/miss test). The row/group
+    reductions are skipped per block.
     """
     segs, tri_start, n_tri = layout
     RT = o.shape[1]
@@ -241,10 +253,14 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             def cb_body(b, c):
                 t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b, tb=_CB)
                 rows = iota_cb + (tri_start + b * _CB)
-                gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
                 t_best, r_best, g_best = c
                 tm = jnp.where(ok, t, _BIG)
                 bm = jnp.min(tm, axis=0, keepdims=True)
+                if occl:
+                    # hit/no-hit is all the caller reads: keep any t < BIG
+                    upd = bm < t_best
+                    return (jnp.where(upd, bm, t_best), r_best, g_best)
+                gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
                 br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
                              keepdims=True)
                 bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
@@ -254,7 +270,10 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                         jnp.where(upd, br, r_best),
                         jnp.where(upd, bg, g_best))
 
-            def scoped(cand_ref):
+            live_m = live if live is not None \
+                else jnp.ones(t_bound.shape, bool)
+
+            def scoped(cand_ref, tmin_ref):
                 cnt = jnp.int32(0)
                 for s in range(n_cb):                   # static unroll
                     tb = tbb[s:s + 1, :]                # (1, 8)
@@ -272,20 +291,68 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                     # best can't improve the min; occlusion lanes that found
                     # any hit already stop asking for more work
                     touch = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= t_bound)
+                    if occl:
+                        touch &= t_bound >= _BIG * 0.5
                     if live is not None:
                         touch &= live
                     hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
+                    # the tile's entry distance into this block (for the
+                    # near-to-far sweep order): every touched lane's hits
+                    # inside the block are >= its own tmin >= this minimum
+                    tkey = jnp.min(jnp.where(touch, tmin, _BIG))
                     # branch-free compaction: untouched blocks write to the
                     # trash slot (_CAND_MAX), so every meaningful slot is
                     # stored exactly once — repeated stores to one address
                     # gave Mosaic license to reorder and corrupted the list
-                    cand_ref[jnp.where(hit, cnt, _CAND_MAX)] = jnp.int32(s)
+                    at = jnp.where(hit, cnt, _CAND_MAX)
+                    cand_ref[at] = jnp.int32(s)
+                    tmin_ref[at] = tkey
+                    if _NEAR_SORT:
+                        # insertion bubble: keep the list tmin-ascending.
+                        # The swap loop runs only for touched blocks (k
+                        # starts at 0 otherwise) and touches real slots only.
+                        def bub_cond(k):
+                            kc = jnp.maximum(k, 1)
+                            return (k > 0) & (tmin_ref[kc - 1] > tkey)
+
+                        def bub_body(k):
+                            cand_ref[k] = cand_ref[k - 1]
+                            tmin_ref[k] = tmin_ref[k - 1]
+                            cand_ref[k - 1] = jnp.int32(s)
+                            tmin_ref[k - 1] = tkey
+                            return k - 1
+
+                        jax.lax.while_loop(bub_cond, bub_body,
+                                           jnp.where(hit, cnt, 0))
                     cnt = cnt + hit.astype(jnp.int32)
-                return jax.lax.fori_loop(
-                    0, cnt, lambda j, c: cb_body(cand_ref[j], c), carry)
+
+                if not _NEAR_SORT:
+                    return jax.lax.fori_loop(
+                        0, cnt, lambda j, c: cb_body(cand_ref[j], c), carry)
+
+                # near-to-far sweep with early cutoff: stop when the
+                # nearest unswept block begins beyond every live lane's
+                # current best (occlusion: once no live lane is unoccluded)
+                def loop_cond(st):
+                    j, (t_best, _, _) = st
+                    if occl:
+                        bound = jnp.max(jnp.where(
+                            live_m & (t_best >= _BIG * 0.5), _BIG, -_BIG))
+                    else:
+                        bound = jnp.max(jnp.where(live_m, t_best, -_BIG))
+                    tj = tmin_ref[jnp.minimum(j, _CAND_MAX)]
+                    return (j < cnt) & (tj <= bound)
+
+                def loop_body(st):
+                    j, c = st
+                    return j + 1, cb_body(cand_ref[j], c)
+
+                return jax.lax.while_loop(loop_cond, loop_body,
+                                          (jnp.int32(0), carry))[1]
 
             carry = pl.run_scoped(scoped,
-                                  pltpu.SMEM((_CAND_MAX + 1,), jnp.int32))
+                                  pltpu.SMEM((_CAND_MAX + 1,), jnp.int32),
+                                  pltpu.SMEM((_CAND_MAX + 1,), jnp.float32))
 
     te, row, wg = carry
     row = jnp.where(row == _BIGI, 0, row)
@@ -342,14 +409,22 @@ def _hit_kernel(layout, need_exit, has_tbb, *refs):
 
 # Triangle-culling granularity: rows per cull block. Morton ordering
 # (compiler._morton_order) makes consecutive rows spatially tight, so one
-# conservative world-space AABB covers a 128-triangle chunk well. The
+# conservative world-space AABB covers a 64-triangle chunk well. The
 # candidate-list scheme (sweep_closest) slab-tests every block up front
 # and loops over only the touched ones, so unlike the earlier
 # lax.cond-per-super design there is no per-block branch to amortize.
-_CB = int(os.environ.get("MRT_TRI_CB", "128"))
+# Measured on Mesh.json fwd: 64 -> 4.72M rays/s vs 128 -> 4.28M,
+# 32 -> 4.11M, 256 -> 4.30M (finer blocks cull tighter until the slab
+# tests and list bookkeeping dominate).
+_CB = int(os.environ.get("MRT_TRI_CB", "64"))
 # static unroll bound for the candidate slab tests / SMEM list size;
 # kernel-eligible scenes are bounded by _MAX_SCRATCH_ROWS anyway
 _CAND_MAX = 64
+# near-to-far candidate ordering + early sweep cutoff (opt-in: the
+# insertion sort and the per-iteration scalar bound reduce measured a net
+# LOSS on Mesh.json — 3.74M vs 4.26M rays/s — the scalar/SMEM latency per
+# while iteration outweighs the skipped blocks at n_cb=8)
+_NEAR_SORT = os.environ.get("MRT_TRI_NEAR", "0") == "1"
 
 
 def _tri_superbounds(scene, frames):

@@ -453,14 +453,26 @@ def _comp_fwd_on() -> bool:
 
 
 def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
-               o, d, pwr, live, A, B, u, want_resid=False):
+               o, d, pwr, live, A, B, u, want_resid=False,
+               emit_kill=False):
     """One full bounce step on lane-major (C, RT) values — the shared body
     of the per-step kernel (:func:`_step_kernel`) and the whole-trace
     kernel (:func:`_trace_kernel`). ``tables`` holds the kernel refs
     ``(fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, text_r,
-    tmeta, lights)``. Returns ``(o2, d2, pwr2, live2f, A2, B2, resid)``
-    with ``resid = (te, tx, row, xrow, [lok_f32...])`` when requested
-    (the backward megakernel's residuals).
+    tmeta, lights)``. Returns ``(o2, d2, pwr2, live2f, A2, B2, resid,
+    live_hit_f)`` with ``resid = (te, tx, row, xrow, [lok_f32...])`` when
+    requested (the backward megakernel's residuals).
+
+    ``emit_kill``: also clear the carry live bit on the emit draw. The
+    reference's reverse fold DISCARDS everything deeper than an emit
+    termination (rt.rs:966-970); in the forward composition that is
+    ``A2 = 0``, which zeroes every later bounce's contribution exactly —
+    so killing the lane changes no radiance bit (dead-lane passthrough is
+    a=1, b=0 on A2=0) and no gradient (every later cotangent is scaled by
+    A=0), but lets the whole-tile dead skip stop paying for bounces the
+    fold would throw away. ``live_hit_f`` stays the PRE-kill hit
+    liveness (the caller's first-bounce "empty path" test must not see
+    the kill).
 
     Layout split: the sweeps, one-hot fetches and shadow rays run
     LANE-MAJOR (primitive rows on sublanes need the rays on lanes), but
@@ -514,7 +526,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         sorig = p_e + ln * EPS
         te_s, _, _, _, _ = pallas_hit3.sweep_closest(
             layout, False, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-            sorig, ln, tx_s, tbb=tbb, live=live_i)
+            sorig, ln, tx_s, tbb=tbb, live=live_i, occl=True)
         light_ok.append((te_s >= _BIG * 0.5) & live_i)
 
     resid = None
@@ -548,13 +560,14 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         lok_c = [cb1(lk.astype(jnp.float32)) > 0.5 for lk in light_ok]
         rowf = cb1(row.astype(jnp.float32))
         xrowf = cb1(xrow.astype(jnp.float32)) if need_exit else rowf
-        o2c, d2c, pwr2c, A2c, B2c = _step_comp(
+        o2c, d2c, pwr2c, A2c, B2c, live_ic, b_emitc = _step_comp(
             layout, need_exit, L, pc, u_c, live_c, cb1(te),
             cb1(tx) if need_exit else cb1(te), rowf, xrowf, lok_c,
             analytic=False)
+        live2c = live_ic & ~b_emitc if emit_kill else live_ic
         return (_uncomp_v3(o2c), _uncomp_v3(d2c), _uncomp8(pwr2c),
-                live_i.astype(jnp.float32), _uncomp_v3(A2c),
-                _uncomp_v3(B2c), resid)
+                _uncomp8(live2c.astype(jnp.float32)), _uncomp_v3(A2c),
+                _uncomp_v3(B2c), resid, live_i.astype(jnp.float32))
 
     n_e = _normal_rows(layout, atE, p_e, row)
     alb_e = _rows3(atE, _C_ALB)
@@ -642,8 +655,9 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     b_f = jnp.where(live_i, b_f, 0.0)
 
     o2 = from_p + next_dir * EPS                            # Ray::cast
-    return (o2, next_dir, pwr * dk, live_i.astype(jnp.float32),
-            A * a_f, B + A * b_f, resid)
+    live2 = live_i & ~b_emit if emit_kill else live_i
+    return (o2, next_dir, pwr * dk, live2.astype(jnp.float32),
+            A * a_f, B + A * b_f, resid, live_i.astype(jnp.float32))
 
 
 def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
@@ -702,7 +716,7 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
 
     @body_gate
     def _step_body():
-        o2, d2, pwr2, live2f, A2, B2, resid = _step_math(
+        o2, d2, pwr2, live2f, A2, B2, resid, _ = _step_math(
             layout, need_exit, L, maps, tables, tx_s, dk,
             o, d, pwr, live, A, B, u, want_resid=train)
         if train:
@@ -864,10 +878,14 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
     tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
               text_r, tmeta, lights)
 
-    if skip and not train:
+    if skip:
         # whole-tile dead skip (see _step_kernel): scratch already holds
-        # the passthrough carry, only pwr decays
+        # the passthrough carry, only pwr decays. Train mode writes only
+        # the residual LIVE row: the backward kernel gates on it and
+        # never reads the rest of a dead tile's residual block
         carry_s[6:7, :] = pwr * dk
+        if train:
+            res_o[0, 7:8, :] = jnp.zeros_like(res_o[0, 7:8, :])
         body_gate = pl.when(jnp.max(live_f) > 0.0)
     else:
         def body_gate(f):
@@ -875,9 +893,16 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
 
     @body_gate
     def _body():
-        o2, d2, pwr2, live2f, A2, B2, resid = _step_math(
+        o2, d2, pwr2, live2f, A2, B2, resid, live_hit_f = _step_math(
             layout, need_exit, L, maps, tables, tx_s, dk,
-            o, d, pwr, live, A, B, u, want_resid=train)
+            o, d, pwr, live, A, B, u, want_resid=train, emit_kill=True)
+
+        # "empty path" means the PRIMARY ray hit nothing (rt.rs:957-959):
+        # record hit-liveness, not the emit-killed carry live
+        @pl.when(k == 0)
+        def _first():
+            fl_o[...] = live_hit_f
+
         if train:
             te, tx, row, xrow, lok = resid
             res_o[0, 0:3, :] = o
@@ -897,10 +922,6 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
         carry_s[7:8, :] = live2f
         carry_s[8:11, :] = A2
         carry_s[11:14, :] = B2
-
-    @pl.when(k == 0)
-    def _first():
-        fl_o[...] = carry_s[7:8, :]
 
     @pl.when(k == K - 1)
     def _final():
@@ -1253,7 +1274,9 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     pwr2 = pwr * p["dk"]
     A2 = _vop(jnp.multiply, A, a_f)
     B2 = _vadd(B, _vop(jnp.multiply, A, b_f))
-    return o2, d2, pwr2, A2, B2
+    # aux (no cotangents; the backward replay drops them): hit-liveness
+    # and the emit draw, for the caller's carry-live policy
+    return o2, d2, pwr2, A2, B2, live_i, b_emit
 
 
 # --- backward megakernel ----------------------------------------------------
@@ -1316,7 +1339,7 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     primal = partial(_step_comp, layout, need_exit, L,
                      u=u, live=live, te_sv=te_sv, tx_sv=tx_r[...],
                      row=row_r[...], xrow=xrow_r[...], lok=lok)
-    _, vjp = jax.vjp(lambda pp: primal(pp), p)
+    _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
     g = vjp((v3r(cto_r), v3r(ctd_r), ctp_r[...],
              v3r(ctA_r), v3r(ctB_r)))[0]
 
@@ -1529,7 +1552,8 @@ def _uncomp_v3(v):
     return jnp.concatenate([_uncomp8(c) for c in v], axis=0)
 
 
-def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, *refs):
+def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
+                      *refs):
     refs = list(refs)
     attr = refs.pop(0)
     if n_tri:
@@ -1572,111 +1596,143 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, *refs):
     row_i = row_l.astype(jnp.int32)
     xrow_i = xrow_l.astype(jnp.int32)
 
-    # winner/exit attribute fetch, in-kernel (one one-hot MXU dot each)
-    P_pad, RT = attr.shape[0], o_l.shape[1]
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
-
-    def fetch_lane(tab, oh):
-        return jax.lax.dot_general(tab[...], oh, (((0,), (0,)), ((), ())),
-                                   precision=hp_prec)
-
-    ohE = (iota_rows == row_i).astype(jnp.float32)
-    atE_l = fetch_lane(attr, ohE)                          # (24, RT)
-    p = {"o": _comp_v3(o_l), "d": _comp_v3(d_l),
-         "pwr": _comp8(res[6:7, :]), "A": _comp_v3(A_l),
-         "atE": tuple(_comp8(atE_l[c:c + 1, :]) for c in range(_NCOL))}
-    zeros8 = jnp.zeros_like(p["pwr"])
-    # B enters only additively (B2 = B + A*b): its value shapes no
-    # cotangent, so the replay runs it at zero instead of saving it
-    p["B"] = (zeros8, zeros8, zeros8)
-    ones8 = jnp.ones_like(p["pwr"])
-    p["dk"] = dk_s[0, 0] * ones8
-    p["lr"] = [[lights_s[li, j] * ones8 for j in range(11)]
-               for li in range(L)]
-    if need_exit:
-        ohX = (iota_rows == xrow_i).astype(jnp.float32)
-        atX_l = fetch_lane(attr, ohX)
-        p["atX"] = tuple(_comp8(atX_l[c:c + 1, :]) for c in range(_NCOL))
-    if n_tri:
-        Pt = ATg.shape[0]
-        iota_t = jax.lax.broadcasted_iota(jnp.int32, (Pt, RT), 0)
-        ohTe = (iota_t == jnp.clip(row_i - tri_start, 0, Pt - 1)).astype(
-            jnp.float32)
-        g3e_l = fetch_lane(ATg, ohTe)                      # (3, RT)
-        h3e_l = fetch_lane(HTg, ohTe)                      # (1, RT)
-        p["g3e"], p["h3e"] = _comp_v3(g3e_l), _comp8(h3e_l)
-        if need_exit:
-            ohTx = (iota_t == jnp.clip(xrow_i - tri_start, 0, Pt - 1)
-                    ).astype(jnp.float32)
-            g3x_l = fetch_lane(ATg, ohTx)
-            h3x_l = fetch_lane(HTg, ohTx)
-            p["g3x"], p["h3x"] = _comp_v3(g3x_l), _comp8(h3x_l)
-
-    u = [_comp8(u_l[j:j + 1, :]) for j in range(8)]
-    live = _comp8(res[7:8, :]) > 0.5
-    lok = [_comp8(res[_R_LOK + li:_R_LOK + li + 1, :]) > 0.5
-           for li in range(L)]
-
+    # hoist the cotangent-carry reads so the dead-skip passthrough below
+    # can rewrite ct_pwr without feeding the gated body its own output
     cto = tuple(ct_s[8 * c:8 * (c + 1), :] for c in range(3))
     ctd = tuple(ct_s[24 + 8 * c:32 + 8 * c, :] for c in range(3))
     ctp = ct_s[48:56, :]
     ctA = tuple(ct_s[56 + 8 * c:64 + 8 * c, :] for c in range(3))
     ctB = _comp_v3(ctB_r[...])                             # constant carry
 
-    primal = partial(_step_comp, layout, need_exit, L,
-                     u=u, live=live, te_sv=_comp8(te_l), tx_sv=_comp8(tx_l),
-                     row=_comp8(row_l), xrow=_comp8(xrow_l), lok=lok)
-    _, vjp = jax.vjp(lambda pp: primal(pp), p)
-    g = vjp((cto, ctd, ctp, ctA, ctB))[0]
+    if skip:
+        # whole-tile dead skip, mirroring the forward: the dead suffix of
+        # a tile (live is monotone non-increasing, so all-dead persists
+        # and is walked FIRST by the reversed grid) carries ct_o = ct_d =
+        # 0 — they start zero at the deepest step, and a dead step's
+        # trace outputs never read o/d — so its backward reduces to
+        # ct_pwr *= dk with every accumulator contribution where-masked
+        # to zero by live=0. Written as the cheap passthrough plus a
+        # gated body, like the forward kernel.
+        ct_s[48:56, :] = ctp * dk_s[0, 0]
 
-    for c in range(3):
-        ct_s[8 * c:8 * (c + 1), :] = g["o"][c]
-        ct_s[24 + 8 * c:32 + 8 * c, :] = g["d"][c]
-        ct_s[56 + 8 * c:64 + 8 * c, :] = g["A"][c]
-    ct_s[48:56, :] = g["pwr"]
+        @pl.when(k == K - 1)
+        def _dead_primary():
+            do_o[...] = jnp.zeros_like(do_o)
+            dd_o[...] = jnp.zeros_like(dd_o)
 
-    # scatter cotangents: (C, RT) @ (RT, P) MXU dots against TRANSPOSED
-    # one-hots, accumulated into resident (C, P) output blocks across the
-    # whole grid (contracting over lanes with a (P, RT) one-hot lowers as
-    # unsupported 1-D multi_reductions; the transposed form is a plain
-    # matmul). The (RT, 1) index columns come from a Mosaic-native reshape.
-    def oh_t(idx_l, n):
-        col = jnp.reshape(idx_l, (RT, 1))
-        return (jax.lax.broadcasted_iota(jnp.int32, (RT, n), 1)
-                == col).astype(jnp.float32)
+        body_gate = pl.when(jnp.max(res[7:8, :]) > 0.0)
+    else:
+        def body_gate(f):
+            return f()
 
-    def scat(ct_comps, oht):
-        rows = jnp.concatenate([_uncomp8(c) for c in ct_comps], axis=0)
-        return jax.lax.dot_general(rows, oht, (((1,), (0,)), ((), ())),
-                                   precision=hp_prec)       # (C, P)
+    P_pad, RT = attr.shape[0], o_l.shape[1]
 
-    d_at = scat([g["atE"][c] for c in range(_NCOL)], oh_t(row_i, P_pad))
-    if need_exit:
-        d_at = d_at + scat([g["atX"][c] for c in range(_NCOL)],
-                           oh_t(xrow_i, P_pad))
-    dattr_o[...] += d_at
-    if n_tri:
-        ohTe_t = oh_t(jnp.clip(row_i - tri_start, 0, Pt - 1), Pt)
-        dg = scat(g["g3e"], ohTe_t)                         # (3, Pt)
-        dh = scat([g["h3e"]], ohTe_t)                       # (1, Pt)
+    @body_gate
+    def _bwd_body():
+        # winner/exit attribute fetch, in-kernel (one one-hot MXU dot
+        # each)
+        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
+
+        def fetch_lane(tab, oh):
+            return jax.lax.dot_general(tab[...], oh,
+                                       (((0,), (0,)), ((), ())),
+                                       precision=hp_prec)
+
+        ohE = (iota_rows == row_i).astype(jnp.float32)
+        atE_l = fetch_lane(attr, ohE)                      # (24, RT)
+        p = {"o": _comp_v3(o_l), "d": _comp_v3(d_l),
+             "pwr": _comp8(res[6:7, :]), "A": _comp_v3(A_l),
+             "atE": tuple(_comp8(atE_l[c:c + 1, :]) for c in range(_NCOL))}
+        zeros8 = jnp.zeros_like(p["pwr"])
+        # B enters only additively (B2 = B + A*b): its value shapes no
+        # cotangent, so the replay runs it at zero instead of saving it
+        p["B"] = (zeros8, zeros8, zeros8)
+        ones8 = jnp.ones_like(p["pwr"])
+        p["dk"] = dk_s[0, 0] * ones8
+        p["lr"] = [[lights_s[li, j] * ones8 for j in range(11)]
+                   for li in range(L)]
         if need_exit:
-            ohTx_t = oh_t(jnp.clip(xrow_i - tri_start, 0, Pt - 1), Pt)
-            dg = dg + scat(g["g3x"], ohTx_t)
-            dh = dh + scat([g["h3x"]], ohTx_t)
-        dATg_o[...] += dg
-        dHTg_o[...] += dh
+            ohX = (iota_rows == xrow_i).astype(jnp.float32)
+            atX_l = fetch_lane(attr, ohX)
+            p["atX"] = tuple(_comp8(atX_l[c:c + 1, :])
+                             for c in range(_NCOL))
+        if n_tri:
+            Pt = ATg.shape[0]
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (Pt, RT), 0)
+            ohTe = (iota_t == jnp.clip(row_i - tri_start, 0, Pt - 1)
+                    ).astype(jnp.float32)
+            g3e_l = fetch_lane(ATg, ohTe)                  # (3, RT)
+            h3e_l = fetch_lane(HTg, ohTe)                  # (1, RT)
+            p["g3e"], p["h3e"] = _comp_v3(g3e_l), _comp8(h3e_l)
+            if need_exit:
+                ohTx = (iota_t == jnp.clip(xrow_i - tri_start, 0, Pt - 1)
+                        ).astype(jnp.float32)
+                g3x_l = fetch_lane(ATg, ohTx)
+                h3x_l = fetch_lane(HTg, ohTx)
+                p["g3x"], p["h3x"] = _comp_v3(g3x_l), _comp8(h3x_l)
 
-    for li in range(L):
-        for j in range(11):
-            r = li * 11 + j
-            dmisc_o[r:r + 1, :] += jnp.sum(g["lr"][li][j], axis=0,
-                                           keepdims=True)
-    dmisc_o[L * 11:L * 11 + 1, :] += jnp.sum(g["dk"], axis=0, keepdims=True)
+        u = [_comp8(u_l[j:j + 1, :]) for j in range(8)]
+        live = _comp8(res[7:8, :]) > 0.5
+        lok = [_comp8(res[_R_LOK + li:_R_LOK + li + 1, :]) > 0.5
+               for li in range(L)]
 
-    @pl.when(k == K - 1)
-    def _primary():
-        do_o[...] = _uncomp_v3(g["o"])
-        dd_o[...] = _uncomp_v3(g["d"])
+        primal = partial(_step_comp, layout, need_exit, L,
+                         u=u, live=live, te_sv=_comp8(te_l),
+                         tx_sv=_comp8(tx_l), row=_comp8(row_l),
+                         xrow=_comp8(xrow_l), lok=lok)
+        _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
+        g = vjp((cto, ctd, ctp, ctA, ctB))[0]
+
+        for c in range(3):
+            ct_s[8 * c:8 * (c + 1), :] = g["o"][c]
+            ct_s[24 + 8 * c:32 + 8 * c, :] = g["d"][c]
+            ct_s[56 + 8 * c:64 + 8 * c, :] = g["A"][c]
+        ct_s[48:56, :] = g["pwr"]
+
+        # scatter cotangents: (C, RT) @ (RT, P) MXU dots against
+        # TRANSPOSED one-hots, accumulated into resident (C, P) output
+        # blocks across the whole grid (contracting over lanes with a
+        # (P, RT) one-hot lowers as unsupported 1-D multi_reductions; the
+        # transposed form is a plain matmul). The (RT, 1) index columns
+        # come from a Mosaic-native reshape.
+        def oh_t(idx_l, n):
+            col = jnp.reshape(idx_l, (RT, 1))
+            return (jax.lax.broadcasted_iota(jnp.int32, (RT, n), 1)
+                    == col).astype(jnp.float32)
+
+        def scat(ct_comps, oht):
+            rows = jnp.concatenate([_uncomp8(c) for c in ct_comps], axis=0)
+            return jax.lax.dot_general(rows, oht, (((1,), (0,)), ((), ())),
+                                       precision=hp_prec)   # (C, P)
+
+        d_at = scat([g["atE"][c] for c in range(_NCOL)], oh_t(row_i, P_pad))
+        if need_exit:
+            d_at = d_at + scat([g["atX"][c] for c in range(_NCOL)],
+                               oh_t(xrow_i, P_pad))
+        dattr_o[...] += d_at
+        if n_tri:
+            ohTe_t = oh_t(jnp.clip(row_i - tri_start, 0, Pt - 1), Pt)
+            dg = scat(g["g3e"], ohTe_t)                     # (3, Pt)
+            dh = scat([g["h3e"]], ohTe_t)                   # (1, Pt)
+            if need_exit:
+                ohTx_t = oh_t(jnp.clip(xrow_i - tri_start, 0, Pt - 1), Pt)
+                dg = dg + scat(g["g3x"], ohTx_t)
+                dh = dh + scat([g["h3x"]], ohTx_t)
+            dATg_o[...] += dg
+            dHTg_o[...] += dh
+
+        for li in range(L):
+            for j in range(11):
+                r = li * 11 + j
+                dmisc_o[r:r + 1, :] += jnp.sum(g["lr"][li][j], axis=0,
+                                               keepdims=True)
+        dmisc_o[L * 11:L * 11 + 1, :] += jnp.sum(g["dk"], axis=0,
+                                                 keepdims=True)
+
+        @pl.when(k == K - 1)
+        def _primary():
+            do_o[...] = _uncomp_v3(g["o"])
+            dd_o[...] = _uncomp_v3(g["d"])
 
 
 def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
@@ -1727,8 +1783,9 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     out_shapes.append(jax.ShapeDtypeStruct((MR, WT), f32))
     out_specs.append(acc((MR, WT)))
 
+    skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
     kern = partial(_trace_bwd_kernel, layout, need_exit, L, K, n_tri,
-                   tri_start)
+                   tri_start, skip)
     outs = list(pl.pallas_call(
         kern,
         grid=(Rp // RT, K),
