@@ -537,8 +537,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
 
     atX = fetch(xrow) if need_exit else None
 
-    if (not maps and _comp_fwd_on()
-            and (RT % (_SUBL * 128) == 0 or _interpret())):
+    if _comp_fwd_on() and (RT % (_SUBL * 128) == 0 or _interpret()):
         # component-form tail: relayout the fetched bundles and the carry
         # once ((C, RT) -> (C*8, RT/8) is a contiguity-preserving reshape
         # Mosaic lowers natively), run the glue at full register width,
@@ -563,7 +562,8 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         o2c, d2c, pwr2c, A2c, B2c, live_ic, b_emitc = _step_comp(
             layout, need_exit, L, pc, u_c, live_c, cb1(te),
             cb1(tx) if need_exit else cb1(te), rowf, xrowf, lok_c,
-            analytic=False)
+            analytic=False, maps=maps,
+            text=text_r[...] if maps else None, tmeta=tmeta)
         live2c = live_ic & ~b_emitc if emit_kill else live_ic
         return (_uncomp_v3(o2c), _uncomp_v3(d2c), _uncomp8(pwr2c),
                 _uncomp8(live2c.astype(jnp.float32)), _uncomp_v3(A2c),
@@ -1094,6 +1094,107 @@ def _normal_comp(layout, at, p, row):
     return _vfinite0(_vnorm_safe(_vmatvec(at, n_obj)))
 
 
+def _uv_comp(layout, at, p, row):
+    """Component-form twin of `_uv_rows` (rt.rs:468-548): sphere spherical
+    map (Cephes atan2 — elementwise, shape-agnostic), plane negative-wrap
+    fract tiling, box 4x3 cross atlas, triangles 0."""
+    segs, tri_start, n_tri = layout
+    ip = _v3(at, _C_IP)
+    hp = _vadd(ip, _vmatvec(at, _vsub(p, ip)))
+    rel = _vsub(hp, ip)
+    inv = jax.lax.rsqrt(jnp.maximum(_vdot(rel, rel), 1e-37))
+    u_sph = 0.5 + 0.5 * _atan2_rows(rel[0] * inv, -(rel[1] * inv)) / _PI
+    v_sph = 0.5 - 0.5 * (rel[2] * inv)
+    fx = (hp[0] + 0.5) - jnp.trunc(hp[0] + 0.5)
+    fy = (hp[1] + 0.5) - jnp.trunc(hp[1] + 0.5)
+    u_pln = jnp.where(fx < 0, 1.0 + fx, fx)
+    v_pln = jnp.where(fy < 0, 1.0 + fy, fy)
+    pa = _v3(at, _C_NA)
+    q = tuple(rel[k] * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
+              for k in range(3))
+    qx, qy, qz = q
+    faces = [  # (cond_axis, cond_target, u, v) in rt.rs test order
+        (qx, 1.0, (0.5 + 0.5 * qy) / 4.0 + 2.0 / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qx, -1.0, (0.5 - 0.5 * qy) / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qy, 1.0, (0.5 - 0.5 * qx) / 4.0 + 3.0 / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qy, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+        (qz, 1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+         (0.5 - 0.5 * qy) / 3.0),
+        (qz, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+         (0.5 + 0.5 * qy) / 3.0 + 2.0 / 3.0),
+    ]
+    zero = jnp.zeros_like(qx)
+    u_box, v_box = zero, zero
+    for axis, target, uu, vv in reversed(faces):
+        c = jnp.abs(axis - target) < EPS
+        u_box = jnp.where(c, uu, u_box)
+        v_box = jnp.where(c, vv, v_box)
+    u_out, v_out = zero, zero  # triangles: uv = 0 (reference todo!())
+    for kind, end in reversed([(k, s + c) for k, s, c in segs]):
+        uk, vk = {schema.KIND_SPHERE: (u_sph, v_sph),
+                  schema.KIND_PLANE: (u_pln, v_pln),
+                  schema.KIND_BOX: (u_box, v_box)}[kind]
+        u_out = jnp.where(row < end, uk, u_out)
+        v_out = jnp.where(row < end, vk, v_out)
+    return u_out, v_out
+
+
+def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
+    """Component-form texel fetch: the index math runs on (8, W) blocks;
+    the one-hot block pick and sublane texel select stay lane-major at
+    the MXU boundary (see `_tex_sample_rows`)."""
+    t = jnp.maximum(tid.astype(jnp.int32), 0)
+    zero_i = jnp.zeros_like(t)
+    off, w, h = zero_i, zero_i + 1, zero_i + 1
+    for k in range(T):  # texture shapes: a handful of SMEM scalars
+        sel = t == k
+        off = jnp.where(sel, meta[k, 0], off)
+        w = jnp.where(sel, meta[k, 1], w)
+        h = jnp.where(sel, meta[k, 2], h)
+    x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    idx_l = _uncomp8(off + x + y * w)                     # (1, RT)
+    hi = idx_l // 128
+    lo = idx_l % 128
+    Thp = TEXT.shape[1]
+    RT = idx_l.shape[1]
+    C = 384 if rgb else 128
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
+          == hi).astype(jnp.float32)
+    dot = lambda rows: jax.lax.dot_general(
+        rows, oh, (((1,), (0,)), ((), ())))
+    blk = dot(TEXT[0:C]) + dot(TEXT[384:384 + C])
+    sel_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
+              == lo).astype(jnp.float32)
+    ch = [_comp8(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
+                         keepdims=True))
+          for c in range(3 if rgb else 1)]
+    return tuple(ch) if rgb else ch[0]
+
+
+def _apply_maps_comp(maps, TEXT, meta, at, u, v, alb, rgh, met, gls, opa,
+                     emi):
+    """Component-form twin of `_apply_maps_rows` (rt.rs:811-863)."""
+    slots, T = maps
+    tid = lambda s: _att(at, _C_MAP + s)
+    if slots[0]:
+        tv = tid(0)
+        rgbv = _tex_sample_comp(TEXT, meta, T, tv, u, v, True)
+        alb = _vwhere(tv >= 0.0, _vop(jnp.multiply, alb, rgbv), alb)
+    outs = [rgh, met, gls, opa, emi]
+    for i, s in enumerate((1, 2, 3, 4, 5)):
+        if not slots[s]:
+            continue
+        tv = tid(s)
+        val = _tex_sample_comp(TEXT, meta, T, tv, u, v, False)
+        outs[i] = jnp.where(tv >= 0.0, val, outs[i])
+    return (alb, *outs)
+
+
 def _sphere_rand_comp(n, rough, u1, u2):
     ct = jnp.clip(1.0 - 2.0 * u1, -1.0, 1.0)
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
@@ -1163,7 +1264,7 @@ def _winner_t_comp(layout, at, o, d, row, want_exit, g3=None, h3=None):
 
 
 def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
-               lok, analytic=True):
+               lok, analytic=True, maps=None, text=None, tmeta=None):
     """Sweep-free bounce step from saved residuals (component form).
 
     ``p`` holds the differentiable inputs: the pre-fetched winner/exit
@@ -1200,11 +1301,19 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     n_e = _normal_comp(layout, atE, p_e, row)
     alb_e = _v3(atE, _C_ALB)
     rgh_e = _att(atE, _C_RGH)
-    met_e = _att(atE, _C_MET)
+    met_raw_e = _att(atE, _C_MET)
+    met_e = met_raw_e
     opa_e = _att(atE, _C_OPA)
     emi_e = _att(atE, _C_EMI)
+    if maps:
+        # texture overrides at the entry point; the dielectric tests keep
+        # the RAW metal column (material_from_attrs' `metal_scalar`)
+        u_uv, v_uv = _uv_comp(layout, atE, p_e, row)
+        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_comp(
+            maps, text, tmeta, atE, u_uv, v_uv,
+            alb_e, rgh_e, met_e, _att(atE, _C_GLS), opa_e, emi_e)
 
-    diel_e = (met_e == 0.0) & (opa_e != 0.0)
+    diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
     rough_r = jnp.where(diel_e & (u[0] < 0.8), 1.0, rgh_e)
     nr = _sphere_rand_comp(n_e, rough_r, u[1], u[2])
     refl = _vnorm_safe(_vsub(d, _vscale(nr, 2.0 * _vdot(d, nr))))
@@ -1220,10 +1329,22 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
         tx_f = jnp.where(live_i, tx, 1.0)
         p_x = _vadd(o, _vscale(d, tx_f))
         n_x = _normal_comp(layout, atX, p_x, xrow)
-        diel_x = (_att(atX, _C_MET) == 0.0) & (_att(atX, _C_OPA) != 0.0)
-        rough_f = jnp.where(diel_x & (u[3] < 0.8), 1.0, _att(atX, _C_RGH))
+        alb_x = _v3(atX, _C_ALB)
+        rgh_x = _att(atX, _C_RGH)
+        met_raw_x = _att(atX, _C_MET)
+        met_x = met_raw_x
+        gls_x = _att(atX, _C_GLS)
+        opa_x = _att(atX, _C_OPA)
+        emi_x = _att(atX, _C_EMI)
+        if maps:
+            ux_uv, vx_uv = _uv_comp(layout, atX, p_x, xrow)
+            alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_comp(
+                maps, text, tmeta, atX, ux_uv, vx_uv,
+                alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
+        diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
+        rough_f = jnp.where(diel_x & (u[3] < 0.8), 1.0, rgh_x)
         nf = _sphere_rand_comp(n_x, rough_f, u[4], u[5])
-        eta = 1.0 + 0.5 * _att(atX, _C_GLS)
+        eta = 1.0 + 0.5 * gls_x
         cos = -_vdot(nf, d)
         kk = 1.0 - eta * eta * (1.0 - cos * cos)
         refr_ok = kk >= 0.0
@@ -1236,10 +1357,10 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
         next_dir = _vwhere(choose, refr, refl)
         from_p = _vwhere(choose, p_x, p_e)
         norm_c = _vwhere(choose, n_x, n_e)
-        alb_c = _vwhere(choose, _v3(atX, _C_ALB), alb_e)
-        rgh_c = jnp.where(choose, _att(atX, _C_RGH), rgh_e)
-        met_c = jnp.where(choose, _att(atX, _C_MET), met_e)
-        emi_c = jnp.where(choose, _att(atX, _C_EMI), emi_e)
+        alb_c = _vwhere(choose, alb_x, alb_e)
+        rgh_c = jnp.where(choose, rgh_x, rgh_e)
+        met_c = jnp.where(choose, met_x, met_e)
+        emi_c = jnp.where(choose, emi_x, emi_e)
     else:
         next_dir, from_p, norm_c = refl, p_e, n_e
         alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
