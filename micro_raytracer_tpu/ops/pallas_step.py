@@ -102,6 +102,21 @@ def _pick_tile(want, Rp, dense_rows=0):
     return t
 
 
+def _fwd_tile_want(layout, tex):
+    """Forward/trace kernel lane-tile policy (post component-form tail):
+    fewer grid programs win — each costs its scf.if regions and pipeline
+    ramp — so tri-free untextured scenes run 8192-lane tiles (CornellBox
+    fwd 80 -> 107M rays/s; plateau at 8192, BASELINE.md round 3).
+    Triangle scenes keep 1024 (the candidate-list sweep scratch scales
+    with the tile; Mesh fails to fit beyond it), and textured scenes too
+    (the texel select's cross-sublane reduce result cannot shape-cast to
+    component form above one native vreg — Mosaic layout limitation).
+    ``MRT_STEP_RT`` overrides for experiments."""
+    if "MRT_STEP_RT" in os.environ:
+        return _TILE_FWD
+    return 1024 if (layout[2] or tex is not None) else 8192
+
+
 def available() -> bool:
     env = os.environ.get("MRT_STEP", "")
     if env == "0" or not _PALLAS:
@@ -758,11 +773,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # 1024-lane tiles halve the dead-skip scf.if count; since the
-    # candidate-list culling removed the per-super scf.ifs, they win on
-    # triangle scenes too (Mesh 3.88 -> 4.12M; 2048 regresses, BASELINE.md)
-    want = _TILE_FWD if "MRT_STEP_RT" in os.environ else 1024
-    RT = _pick_tile(want, Rp, layout[1])
+    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
     r8 = pl.BlockSpec((8, RT), lambda i: (0, i))
@@ -948,10 +959,7 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # same tile policy as _call_step: candidate-list culling removed the
-    # per-super scf.ifs, so 1024 lanes win for triangle scenes too
-    want = _TILE_FWD if "MRT_STEP_RT" in os.environ else 1024
-    RT = _pick_tile(want, Rp, layout[1])
+    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
     u8spec = pl.BlockSpec((1, 8, RT), lambda i, k: (k, 0, i))
