@@ -27,6 +27,7 @@ from ..ops import intersect, linalg, pallas_hit, rng
 from ..ops.linalg import EPS
 from .compiler import CameraArrays, SceneArrays
 from . import camera as camera_mod
+from . import schema
 
 
 # The Pallas kernel is opt-in (see pallas_hit.available): the dense sweep
@@ -127,6 +128,69 @@ def _resort_perm(ox, oy, oz, dx, dy, dz, live):
               + (dz > 0).astype(jnp.int32))
     key = jnp.where(alive, morton * 8 + octant, jnp.int32(1 << 30))
     return jnp.argsort(key, stable=True).astype(jnp.int32)
+
+
+def _compact_cuts(scene: SceneArrays, steps: int, inference: bool):
+    """Step indices where the whole-trace render compacts live lanes first.
+
+    Deep bounces in open scenes are straggler-bound: on Mesh.json at
+    bounce 8 only ~2% of lanes are live but ~54% of 512-lane kernel tiles
+    still hold at least one (measured, BASELINE.md) — every such tile pays
+    full sweeps for a handful of rays. Splitting the whole-trace kernel at
+    a few depths and packing live lanes first between segments turns tile
+    occupancy back into lane occupancy for the remaining bounces, at the
+    cost of one carry round-trip + gathers per cut. A cumsum partition —
+    NOT the argsort that made MRT_RESORT a loss — and each ray keeps its
+    uniform stream (ids ride along), so radiance is bit-identical.
+
+    Default: inference-only, scenes with a triangle segment (their sweeps
+    are the expensive ones; closed sphere/box scenes keep lanes live and
+    would only pay). ``MRT_COMPACT=0`` disables, ``=1`` forces for all
+    scenes; ``MRT_COMPACT_AT`` overrides the cut depths."""
+    import os
+
+    if not inference:
+        return []
+    env = os.environ.get("MRT_COMPACT", "")
+    if env == "0":
+        return []
+    if env != "1" and not scene.kind_counts[schema.KIND_TRIANGLE]:
+        return []
+    at = os.environ.get("MRT_COMPACT_AT", "3,6")
+    cuts = sorted({int(x) for x in at.split(",") if x.strip()})
+    return [c for c in cuts if 0 < c < steps]
+
+
+def _compact_perm(live_row):
+    """Stable live-first lane partition of a (Rp,) 0/1 float row.
+
+    ``perm[slot] = lane``: live lanes keep their relative order in the
+    leading slots, dead lanes follow. No argsort, and no O(Rp) serial
+    cumsum either (a 131k 1D scan measured ~0.5 ms on v5e): the prefix
+    sums run two-level — an intra-row scan of the (Rp/512, 512) reshape
+    as an MXU matmul against a triangular ones matrix (both sides 0/1 or
+    exact small ints, so the TPU's default bf16 truncation is exact),
+    plus a tiny cross-row scan."""
+    Rp = live_row.shape[0]
+    T = 512
+    if Rp % T:                                 # tiny test batches
+        T = 128 if Rp % 128 == 0 else 1
+    a2 = (live_row > 0.5).reshape(-1, T)
+    af = a2.astype(jnp.float32)
+    # inclusive scan along rows: af @ upper-triangular ones
+    tri = jnp.triu(jnp.ones((T, T), jnp.float32))
+    ic = jax.lax.stop_gradient(jax.lax.dot(af, tri)).astype(jnp.int32) \
+        - a2.astype(jnp.int32)                 # exclusive intra-row ranks
+    row_n = ic[:, -1:] + a2[:, -1:].astype(jnp.int32)      # live per row
+    row_off = jnp.cumsum(row_n[:, 0]) - row_n[:, 0]        # (rows,) small
+    na = row_off[-1] + row_n[-1, 0]
+    dic = (jnp.arange(T, dtype=jnp.int32)[None, :] - ic)   # dead ranks
+    drow_n = T - row_n
+    drow_off = jnp.cumsum(drow_n[:, 0]) - drow_n[:, 0]
+    pos = jnp.where(a2, row_off[:, None] + ic,
+                    na + drow_off[:, None] + dic)
+    return jnp.zeros((Rp,), jnp.int32).at[pos.reshape(-1)].set(
+        jnp.arange(Rp, dtype=jnp.int32))
 
 
 def _light_dirs_to(scene: SceneArrays, point):
@@ -392,9 +456,47 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
             # (grid = ray tiles x steps, carry in VMEM scratch) — no scan,
             # no per-step carry round-trips, residuals streamed in-kernel;
             # the backward is the matching whole-trace kernel.
-            A_T, B_T, flT = pallas_step.trace_packed(
-                scene, consts, attr, lights, decay, o_p.T, d_p.T, u8s,
-                tex=tex, inference=inference)
+            cuts = _compact_cuts(scene, steps, inference)
+            if cuts:
+                # segmented render with live-first compaction at the cuts
+                # (see _compact_cuts); lane j holds ray rid[j], and every
+                # ray keeps its uniform stream because the not-yet-consumed
+                # uniform rows ride the SAME permutation as the carry.
+                # TPU gather/scatter cost scales with the number of INDEX
+                # ops, not bytes (131k-lane gather ~0.3 ms, scatter ~4x
+                # that), so each cut does exactly one small perm-building
+                # scatter and ONE fused payload gather: [carry(14) |
+                # rid(1, exact f32 ints) | remaining uniforms]
+                u_rem = u8s.reshape(steps * 8, Rp)
+                ridf = jnp.arange(Rp, dtype=jnp.float32)[None]
+                base = 0
+                c0 = flT = None
+                bounds = [0] + cuts + [steps]
+                for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                    u_seg = u_rem[(s0 - base) * 8:(s1 - base) * 8]
+                    A_T, B_T, fl_seg, cout = pallas_step.trace_segment(
+                        scene, consts, attr, lights, decay, o_p.T, d_p.T,
+                        u_seg.reshape(s1 - s0, 8, Rp), tex=tex, c0=c0)
+                    if s0 == 0:
+                        flT = fl_seg          # ray order: seg 1 unpermuted
+                    if s1 < steps:
+                        perm = _compact_perm(cout[7])
+                        payload = jnp.concatenate(
+                            [cout, ridf, u_rem[(s1 - base) * 8:]], axis=0)
+                        payload = payload[:, perm]
+                        cout = payload[:14]
+                        ridf = payload[14:15]
+                        u_rem = payload[15:]
+                        base = s1
+                    c0 = cout
+                rid = ridf[0].astype(jnp.int32)
+                inv = jnp.zeros((Rp,), jnp.int32).at[rid].set(
+                    jnp.arange(Rp, dtype=jnp.int32))
+                A_T, B_T = A_T[:, inv], B_T[:, inv]
+            else:
+                A_T, B_T, flT = pallas_step.trace_packed(
+                    scene, consts, attr, lights, decay, o_p.T, d_p.T, u8s,
+                    tex=tex, inference=inference)
             A, B = A_T.T[:R], B_T.T[:R]
             first_live = flT[0, :R] > 0.5
             base = jnp.broadcast_to(scene.sky_color * scene.sky_pwr, (R, 3))

@@ -273,20 +273,29 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             live_m = live if live is not None \
                 else jnp.ones(t_bound.shape, bool)
 
+            def _slab(b_tb):
+                """Per-lane (tmin, tmax) of cull-block AABB ``b_tb`` (1, 8)
+                vs the tile — shared by the up-front compaction and the
+                mid-loop gate re-test."""
+                tmin = None
+                tmax = None
+                for k in range(3):
+                    t1 = (b_tb[0:1, k:k + 1] - o[k:k + 1, :]) * invd[k]
+                    t2 = (b_tb[0:1, 3 + k:4 + k] - o[k:k + 1, :]) * invd[k]
+                    near = jnp.minimum(t1, t2)
+                    far = jnp.maximum(t1, t2)
+                    tmin = near if tmin is None else jnp.maximum(tmin, near)
+                    tmax = far if tmax is None else jnp.minimum(tmax, far)
+                return tmin, tmax
+
             def scoped(cand_ref, tmin_ref):
                 cnt = jnp.int32(0)
+                # farthest touched-slab exit per lane: a lane can never
+                # need a block whose entry lies beyond this, so lanes that
+                # miss every block stop holding the early cutoff open
+                tfar_all = jnp.full(t_bound.shape, -_BIG, jnp.float32)
                 for s in range(n_cb):                   # static unroll
-                    tb = tbb[s:s + 1, :]                # (1, 8)
-                    tmin = None
-                    tmax = None
-                    for k in range(3):
-                        t1 = (tb[0:1, k:k + 1] - o[k:k + 1, :]) * invd[k]
-                        t2 = (tb[0:1, 3 + k:4 + k] - o[k:k + 1, :]) * invd[k]
-                        near = jnp.minimum(t1, t2)
-                        far = jnp.maximum(t1, t2)
-                        tmin = near if tmin is None else jnp.maximum(tmin,
-                                                                     near)
-                        tmax = far if tmax is None else jnp.minimum(tmax, far)
+                    tmin, tmax = _slab(tbb[s:s + 1, :])
                     # a block whose AABB starts beyond the lane's dense-kind
                     # best can't improve the min; occlusion lanes that found
                     # any hit already stop asking for more work
@@ -295,6 +304,8 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                         touch &= t_bound >= _BIG * 0.5
                     if live is not None:
                         touch &= live
+                    tfar_all = jnp.where(touch, jnp.maximum(tfar_all, tmax),
+                                         tfar_all)
                     hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
                     # the tile's entry distance into this block (for the
                     # near-to-far sweep order): every touched lane's hits
@@ -326,26 +337,52 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                                            jnp.where(hit, cnt, 0))
                     cnt = cnt + hit.astype(jnp.int32)
 
+                def gated_body(b, c):
+                    # mid-loop re-test: as the loop finds hits (entry) or
+                    # occludes lanes (shadow), listed blocks stop being
+                    # needed — re-derive per-lane demand against the
+                    # CURRENT bests and skip the whole (CB, RT) sweep when
+                    # no lane demands it. The scf.if region costs ~150
+                    # cycles when not taken vs ~1 us for a swept block.
+                    tmin, tmax = _slab(tbb[pl.ds(b, 1), :])
+                    t_best = c[0]
+                    need = (tmax >= jnp.maximum(tmin, 0.0)) & live_m
+                    if occl:
+                        need &= t_best >= _BIG * 0.5
+                    else:
+                        need &= tmin <= t_best
+                    return jax.lax.cond(
+                        jnp.max(jnp.where(need, 1.0, 0.0)) > 0.0,
+                        lambda cc: cb_body(b, cc), lambda cc: cc, c)
+
+                body = gated_body if _MID_GATE else cb_body
+
                 if not _NEAR_SORT:
                     return jax.lax.fori_loop(
-                        0, cnt, lambda j, c: cb_body(cand_ref[j], c), carry)
+                        0, cnt, lambda j, c: body(cand_ref[j], c), carry)
 
                 # near-to-far sweep with early cutoff: stop when the
                 # nearest unswept block begins beyond every live lane's
-                # current best (occlusion: once no live lane is unoccluded)
+                # demand bound min(current best, farthest touched-slab
+                # exit) — a lane with possible hits in block j has
+                # tkey_j <= its own slab entry <= both terms, so no
+                # reachable winner is ever skipped (occlusion: a lane
+                # stops demanding once occluded or out of blocks)
                 def loop_cond(st):
                     j, (t_best, _, _) = st
                     if occl:
                         bound = jnp.max(jnp.where(
-                            live_m & (t_best >= _BIG * 0.5), _BIG, -_BIG))
+                            live_m & (t_best >= _BIG * 0.5), tfar_all,
+                            -_BIG))
                     else:
-                        bound = jnp.max(jnp.where(live_m, t_best, -_BIG))
+                        bound = jnp.max(jnp.where(
+                            live_m, jnp.minimum(t_best, tfar_all), -_BIG))
                     tj = tmin_ref[jnp.minimum(j, _CAND_MAX)]
                     return (j < cnt) & (tj <= bound)
 
                 def loop_body(st):
                     j, c = st
-                    return j + 1, cb_body(cand_ref[j], c)
+                    return j + 1, body(cand_ref[j], c)
 
                 return jax.lax.while_loop(loop_cond, loop_body,
                                           (jnp.int32(0), carry))[1]
@@ -425,6 +462,14 @@ _CAND_MAX = 64
 # LOSS on Mesh.json — 3.74M vs 4.26M rays/s — the scalar/SMEM latency per
 # while iteration outweighs the skipped blocks at n_cb=8)
 _NEAR_SORT = os.environ.get("MRT_TRI_NEAR", "0") == "1"
+# mid-loop per-block demand re-test + lax.cond skip inside the compacted
+# candidate loop: entry sweeps skip blocks once found hits bound them out,
+# occlusion sweeps skip blocks once the lanes that pulled them in are
+# occluded. Opt-in: measured a net LOSS on Mesh.json (4.08M vs 4.72M
+# rays/s, and 3.28M combined with MRT_TRI_NEAR) — the scf.if region per
+# listed block costs more than the skipped sweeps recover, the same
+# failure mode as every per-block lax.cond scheme before it (BASELINE.md)
+_MID_GATE = os.environ.get("MRT_TRI_GATE", "0") == "1"
 
 
 def _tri_superbounds(scene, frames):

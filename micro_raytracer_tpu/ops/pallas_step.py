@@ -850,6 +850,7 @@ def _res_rows(L):
 
 
 def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
+                  has_c0, want_cout,
                   fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest):
     rest = list(rest)
     tbb = rest.pop(0) if has_tbb else None
@@ -857,10 +858,17 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
     text_r = tmeta = None
     if maps:
         text_r, tmeta = rest.pop(0), rest.pop(0)
-    lights, dk_r, o0_r, d0_r, u8_r = rest[:5]
-    rest = rest[5:]
+    lights, dk_r = rest[:2]
+    rest = rest[2:]
+    if has_c0:
+        c0_r, u8_r = rest[:2]
+        rest = rest[2:]
+    else:
+        o0_r, d0_r, u8_r = rest[:3]
+        rest = rest[3:]
     A_o, B_o, fl_o = rest[:3]
     rest = rest[3:]
+    cout_o = rest.pop(0) if want_cout else None
     res_o = rest.pop(0) if train else None
     carry_s, tx_s = rest
     k = pl.program_id(1)
@@ -868,15 +876,21 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
 
     @pl.when(k == 0)
     def _init():
-        one = jnp.ones((1, carry_s.shape[1]), jnp.float32)
-        carry_s[0:3, :] = o0_r[...]
-        carry_s[3:6, :] = d0_r[...]
-        carry_s[6:7, :] = one                               # pwr
-        carry_s[7:8, :] = one                               # live
-        carry_s[8:9, :] = one                               # A
-        carry_s[9:10, :] = one
-        carry_s[10:11, :] = one
-        carry_s[11:14, :] = jnp.zeros((3, carry_s.shape[1]), jnp.float32)
+        if has_c0:
+            # mid-trace segment: resume from the caller's full carry (the
+            # compaction between segments permutes lanes live-first)
+            carry_s[...] = c0_r[...]
+        else:
+            one = jnp.ones((1, carry_s.shape[1]), jnp.float32)
+            carry_s[0:3, :] = o0_r[...]
+            carry_s[3:6, :] = d0_r[...]
+            carry_s[6:7, :] = one                           # pwr
+            carry_s[7:8, :] = one                           # live
+            carry_s[8:9, :] = one                           # A
+            carry_s[9:10, :] = one
+            carry_s[10:11, :] = one
+            carry_s[11:14, :] = jnp.zeros((3, carry_s.shape[1]),
+                                          jnp.float32)
 
     o = carry_s[0:3, :]
     d = carry_s[3:6, :]
@@ -938,13 +952,21 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
     def _final():
         A_o[...] = carry_s[8:11, :]
         B_o[...] = carry_s[11:14, :]
+        if want_cout:
+            cout_o[...] = carry_s[...]
 
 
 def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
-                o0T, d0T, u8s, train=False, tex=None, maps=None):
+                o0T, d0T, u8s, train=False, tex=None, maps=None,
+                c0=None, want_cout=False):
     """Whole-trace kernel invocation on lane-major primaries (3, Rp) and
     uniforms (K, 8, Rp). Returns (A (3,Rp), B (3,Rp), first_live (1,Rp)
-    [, residuals (K, CR, Rp)])."""
+    [, carry (14,Rp) when ``want_cout``][, residuals (K, CR, Rp)]).
+
+    ``c0`` ((14, Rp): o d pwr live A B rows) resumes a trace mid-flight —
+    the segmented-compaction path (tracer.trace_fused) splits a trace into
+    several calls and packs live lanes first in between; ``o0T``/``d0T``
+    are ignored when given (pass the same arrays)."""
     assert (tex is None) == (maps is None) and not (train and tex)
     fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb = consts
     AT = pallas_tri._pad_p(AT)
@@ -965,16 +987,20 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
     u8spec = pl.BlockSpec((1, 8, RT), lambda i, k: (k, 0, i))
     f32 = jnp.float32
     CR = _res_rows(L)
+    r14 = pl.BlockSpec((14, RT), lambda i, k: (0, i))
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((1, Rp), f32)]
     out_specs = [r3, r3, r1]
+    if want_cout:
+        out_shapes.append(jax.ShapeDtypeStruct((14, Rp), f32))
+        out_specs.append(r14)
     if train:
         out_shapes.append(jax.ShapeDtypeStruct((K, CR, Rp), f32))
         out_specs.append(pl.BlockSpec((1, CR, RT), lambda i, k: (k, 0, i)))
     skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
     kern = partial(_trace_kernel, layout, need_exit, L, K, train, maps,
-                   tbb is not None, skip)
+                   tbb is not None, skip, c0 is not None, want_cout)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
         tbb_specs, tbb_args = [cspec(tbb)], [tbb]
@@ -983,20 +1009,24 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         TEXT, meta = tex
         tex_specs = [cspec(TEXT), smem]
         tex_args = [TEXT, meta]
+    if c0 is not None:
+        ray_specs, ray_args = [r14], [c0]
+    else:
+        ray_specs, ray_args = [r3, r3], [o0T, d0T]
     outs = pl.pallas_call(
         kern,
         grid=(Rp // RT, K),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
                   cspec(gid), cspec(AT), cspec(HT), cspec(thr)]
                  + tbb_specs + [cspec(attr)] + tex_specs
-                 + [smem, smem, r3, r3, u8spec],
+                 + [smem, smem] + ray_specs + [u8spec],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((14, RT), jnp.float32),
                         pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
     )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *tex_args,
-      lights, dk, o0T, d0T, u8s)
+      lights, dk, *ray_args, u8s)
     return outs
 
 
@@ -2021,6 +2051,26 @@ def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
     fn = _get_trace_fn(layout, scene.any_refract, scene.n_lights, K)
     return fn(consts, attr, lights, jnp.asarray(decay, jnp.float32),
               oT, dT, u8s)
+
+
+def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
+                  tex=None, c0=None):
+    """One segment of a whole-trace render (INFERENCE only, no VJP).
+
+    Like :func:`trace_packed` but resumable: with ``c0`` (the (14, Rp)
+    carry a previous segment returned, lane-permuted however the caller
+    likes) the kernel continues mid-trace; always returns
+    ``(A, B, first_live, carry (14, Rp))`` so the caller can compact live
+    lanes first between segments (`tracer.trace_fused`)."""
+    layout = _seg_layout(scene.kind_counts)
+    K = u8s.shape[0]
+    maps = None
+    if tex is not None:
+        maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
+    return _call_trace(layout, scene.any_refract, scene.n_lights, K,
+                       consts, attr, lights, jnp.asarray(decay, jnp.float32),
+                       oT, dT, u8s, tex=tex, maps=maps, c0=c0,
+                       want_cout=True)
 
 
 # --- differentiable wrapper -------------------------------------------------
