@@ -191,8 +191,13 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
         tm = jnp.where(ok, t0, _BIG)
         bm = jnp.min(tm, axis=0, keepdims=True)
         br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0, keepdims=True)
-        bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0, keepdims=True)
         upd = bm < t_best
+        if not need_exit:
+            # the winner group only feeds the exit pass — every
+            # need_exit=False caller discards it, so skip the gid math
+            return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
+                    g_best)
+        bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0, keepdims=True)
         return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
                 jnp.where(upd, bg, g_best))
 
@@ -212,7 +217,6 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
         def tri_body(b, carry):
             t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b)
             rows = iota_t + (tri_start + b * PRIM_BLOCK)
-            gidB = gid[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK), :]
             t_best, r_best, g_best = carry
             tm = jnp.where(ok, t, _BIG)
             if need_exit:
@@ -223,9 +227,13 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             bm = jnp.min(tm, axis=0, keepdims=True)
             br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
                          keepdims=True)
+            upd = bm < t_best
+            if not need_exit:
+                return (jnp.where(upd, bm, t_best),
+                        jnp.where(upd, br, r_best), g_best)
+            gidB = gid[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK), :]
             bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
                          keepdims=True)
-            upd = bm < t_best
             return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
                     jnp.where(upd, bg, g_best))
 
@@ -260,12 +268,15 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                     # hit/no-hit is all the caller reads: keep any t < BIG
                     upd = bm < t_best
                     return (jnp.where(upd, bm, t_best), r_best, g_best)
-                gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
                 br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
                              keepdims=True)
+                upd = bm < t_best
+                if not need_exit:
+                    return (jnp.where(upd, bm, t_best),
+                            jnp.where(upd, br, r_best), g_best)
+                gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
                 bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
                              keepdims=True)
-                upd = bm < t_best
                 return (jnp.where(upd, bm, t_best),
                         jnp.where(upd, br, r_best),
                         jnp.where(upd, bg, g_best))
