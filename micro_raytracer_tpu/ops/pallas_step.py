@@ -467,6 +467,35 @@ def _comp_fwd_on() -> bool:
     return os.environ.get("MRT_COMP_FWD", "1") == "1"
 
 
+def _split3(tab):
+    """f32 table -> three bf16-REPRESENTABLE f32 parts with
+    hi + mid + lo = tab to within half an f32 ulp.
+
+    TPU matmuls truncate f32 inputs to bf16 at DEFAULT precision; HIGHEST
+    recovers f32 with a 6-pass (3x3 upper-triangle) product. But every
+    dot in these kernels has a 0/1 one-hot on one side — already exact in
+    bf16 — so three DEFAULT passes against the nested bf16 split of the
+    OTHER side reconstruct the f32 product exactly: each partial product
+    is exact, and the three partials' exponents are >=8 bits apart, so
+    their f32 sum re-assembles the mantissa losslessly (the texel fetch's
+    hi/lo trick, one level deeper). Measured ~13% off the backward
+    megakernel vs HIGHEST."""
+    hi = tab.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = tab - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (r1 - mid).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, lo
+
+
+def _onehot_dot(tab, oh, dims):
+    """``dot_general(tab, oh, dims)`` where ``oh`` is a 0/1 one-hot:
+    f32-exact via three DEFAULT-precision passes (see :func:`_split3`)."""
+    hi, mid, lo = _split3(tab)
+    d = partial(jax.lax.dot_general, dimension_numbers=dims,
+                precision=jax.lax.Precision.DEFAULT)
+    return (d(hi, oh) + d(mid, oh)) + d(lo, oh)
+
+
 def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
                o, d, pwr, live, A, B, u, want_resid=False,
                emit_kill=False):
@@ -504,7 +533,6 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
      text_r, tmeta, lights) = tables
     RT = o.shape[1]
     P_pad = attr.shape[0]
-    hp_prec = jax.lax.Precision.HIGHEST
 
     te, row, _, tx, xrow = pallas_hit3.sweep_closest(
         layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
@@ -516,8 +544,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
 
     def fetch(r):
         oh = (iota_rows == r).astype(jnp.float32)           # (P_pad, RT)
-        return jax.lax.dot_general(attr[...], oh, (((0,), (0,)), ((), ())),
-                                   precision=hp_prec)       # (24, RT)
+        return _onehot_dot(attr[...], oh, (((0,), (0,)), ((), ())))
 
     atE = fetch(row)
     te_f = jnp.where(live_i, te, 1.0)
@@ -1726,7 +1753,6 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         dATg_o, dHTg_o = refs.pop(0), refs.pop(0)
     dmisc_o, ct_s = refs
     k = pl.program_id(1)
-    hp_prec = jax.lax.Precision.HIGHEST
 
     @pl.when((pl.program_id(0) == 0) & (k == 0))
     def _zero_acc():
@@ -1793,9 +1819,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
 
         def fetch_lane(tab, oh):
-            return jax.lax.dot_general(tab[...], oh,
-                                       (((0,), (0,)), ((), ())),
-                                       precision=hp_prec)
+            return _onehot_dot(tab[...], oh, (((0,), (0,)), ((), ())))
 
         ohE = (iota_rows == row_i).astype(jnp.float32)
         atE_l = fetch_lane(attr, ohE)                      # (24, RT)
@@ -1861,8 +1885,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 
         def scat(ct_comps, oht):
             rows = jnp.concatenate([_uncomp8(c) for c in ct_comps], axis=0)
-            return jax.lax.dot_general(rows, oht, (((1,), (0,)), ((), ())),
-                                       precision=hp_prec)   # (C, P)
+            return _onehot_dot(rows, oht, (((1,), (0,)), ((), ())))
 
         d_at = scat([g["atE"][c] for c in range(_NCOL)], oh_t(row_i, P_pad))
         if need_exit:
