@@ -82,20 +82,44 @@ def _coords(chunk, render_wh):
     return jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
 
 
+def _time_once(fn, *args):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    # ONE-SCALAR fetch forces a real sync even where block_until_ready
+    # is a no-op (experimental PJRT plugins). Slice on device first — a
+    # full-leaf device_get would time the tunnel's transfer bandwidth,
+    # not the device.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+    return time.perf_counter() - t0
+
+
 def _time_best(fn, *args, repeats=5):
     jax.block_until_ready(fn(*args))  # compile
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        # ONE-SCALAR fetch forces a real sync even where block_until_ready
-        # is a no-op (experimental PJRT plugins). Slice on device first — a
-        # full-leaf device_get would time the tunnel's transfer bandwidth,
-        # not the device.
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    return min(_time_once(fn, *args) for _ in range(repeats))
+
+
+def _slope(fn_hi, fn_lo, s_hi, s_lo, *args, pairs=7):
+    """Marginal per-unit-of-work seconds between two fused counts.
+
+    Device-side per-sample time is flat in the fused count (profiler: the
+    kernel span is identical at S=8 and S=64), but the tunnel's per-call
+    constant varies tens of ms BETWEEN measurement loops, so neither a
+    single overhead-subtracted call nor a difference of two separately
+    taken minima is stable. Interleave hi/lo calls so each difference
+    pairs adjacent draws of the same tunnel state, then take the median
+    pair — robust to slow drift and to outliers in either direction."""
+    jax.block_until_ready(fn_hi(*args))
+    jax.block_until_ready(fn_lo(*args))
+    diffs = []
+    for _ in range(pairs):
+        t_hi = _time_once(fn_hi, *args)
+        t_lo = _time_once(fn_lo, *args)
+        diffs.append(t_hi - t_lo)
+    diffs.sort()
+    med = diffs[len(diffs) // 2] if pairs % 2 else 0.5 * (
+        diffs[pairs // 2 - 1] + diffs[pairs // 2])
+    return med / (s_hi - s_lo), min(_ for _ in diffs) / (s_hi - s_lo)
 
 
 def _dispatch_overhead():
@@ -152,10 +176,28 @@ def main():
             return jax.lax.fori_loop(0, SAMPLES_FWD, body,
                                      jnp.zeros((_chunk, 3), jnp.float32))
 
+        S_LO_C = max(1, SAMPLES_FWD // 4)
+
+        def fwd_c(scene, coords, key, _wh=render_wh, _b=bounce, _l=loss,
+                  _cam=cam, _chunk=chunk, _S=S_LO_C):
+            def body(i, acc):
+                rad = trace_radiance(scene, _cam, _wh, _b, _l, coords,
+                                     jax.random.fold_in(key, i),
+                                     inference=True)
+                return acc + rad
+
+            return jax.lax.fori_loop(0, _S, body,
+                                     jnp.zeros((_chunk, 3), jnp.float32))
+
         fwd_j = jax.jit(fwd)
-        fwd_raw = _time_best(fwd_j, scene, coords, key)
+        fwd_raw = _time_best(fwd_j, scene, coords, key, repeats=3)
         fwd_s = max(fwd_raw - overhead, 0.25 * fwd_raw)
-        rays = chunk * SAMPLES_FWD / fwd_s
+        per_s, _ = _slope(fwd_j, jax.jit(fwd_c), SAMPLES_FWD, S_LO_C,
+                          scene, coords, key, pairs=5)
+        if per_s > 0:
+            rays = chunk / per_s
+        else:  # pathological draws: fall back to overhead subtraction
+            rays = chunk * SAMPLES_FWD / fwd_s
         per_config[name] = {"fwd_rays_per_s": round(rays, 1), "chunk": chunk,
                             "bounce": bounce, "n_prims": scene.n_prims,
                             "raw_call_ms": round(fwd_raw * 1e3, 1)}
@@ -169,33 +211,13 @@ def main():
                 headline["roofline_pct"] = round(100.0 * sol_s / fwd_s, 1)
             except Exception:
                 headline["roofline_pct"] = None
-            headline["fwd_rays_per_s"] = round(rays, 1)
-
-            # two-point slope: time the same program at a quarter of the
-            # fused count and divide out the difference. Device-side
+            # per-config rays is already the two-point slope: device-side
             # per-sample time is flat in the fused count (profiler: the
             # kernel span is identical at S=8 and S=64), but the tunnel's
             # fixed per-call cost varies tens of ms run to run, so a
             # single overhead-subtracted call carries that variance; the
-            # slope cancels every per-call constant.
-            S_LO = max(1, SAMPLES_FWD // 4)
-
-            def fwd_lo(scene, coords, key, _wh=render_wh, _b=bounce,
-                       _l=loss, _cam=cam, _chunk=chunk):
-                def body(i, acc):
-                    rad = trace_radiance(scene, _cam, _wh, _b, _l, coords,
-                                         jax.random.fold_in(key, i),
-                                         inference=True)
-                    return acc + rad
-
-                return jax.lax.fori_loop(0, S_LO, body,
-                                         jnp.zeros((_chunk, 3), jnp.float32))
-
-            lo_raw = _time_best(jax.jit(fwd_lo), scene, coords, key,
-                                repeats=12)
-            if fwd_raw > lo_raw:
-                slope = (fwd_raw - lo_raw) / (SAMPLES_FWD - S_LO)
-                headline["fwd_rays_per_s_slope"] = round(chunk / slope, 1)
+            # slope cancels every per-call constant
+            headline["fwd_rays_per_s"] = round(rays, 1)
 
             # forward+backward: grads w.r.t. every trainable scene leaf
             params, _ = shard.split_params(scene)
@@ -242,23 +264,16 @@ def main():
 
                 return jax.grad(loss_fn)(params)
 
-            bwd_raw = _time_best(jax.jit(fwdbwd), params, coords, key,
-                                 repeats=12)
-            bwd_lo_raw = _time_best(jax.jit(fwdbwd_lo), params, coords, key,
-                                    repeats=12)
+            fwdbwd_j = jax.jit(fwdbwd)
+            bwd_raw = _time_best(fwdbwd_j, params, coords, key, repeats=3)
             bwd_s = max(bwd_raw - overhead, 0.25 * bwd_raw)
             sub = chunk * SAMPLES_BWD / bwd_s
-            headline["fwdbwd_rays_per_s"] = round(sub, 1)
-            if bwd_raw > bwd_lo_raw:
-                # marginal per-sample cost between the two fused counts —
-                # per-call constants (and their run-to-run variance) cancel,
-                # so the slope is the primary estimator; the overhead-
-                # subtracted single-call value ships alongside
-                slope = (bwd_raw - bwd_lo_raw) / (SAMPLES_BWD - B_LO)
-                headline["fwdbwd_rays_per_s"] = round(chunk / slope, 1)
-                headline["fwdbwd_rays_per_s_sub"] = round(sub, 1)
+            per_s_b, _ = _slope(fwdbwd_j, jax.jit(fwdbwd_lo), SAMPLES_BWD,
+                                B_LO, params, coords, key, pairs=9)
+            headline["fwdbwd_rays_per_s"] = round(
+                chunk / per_s_b if per_s_b > 0 else sub, 1)
+            headline["fwdbwd_rays_per_s_sub"] = round(sub, 1)
             headline["fwdbwd_raw_call_ms"] = round(bwd_raw * 1e3, 1)
-            headline["fwdbwd_lo_call_ms"] = round(bwd_lo_raw * 1e3, 1)
 
     value = headline["fwdbwd_rays_per_s"]
     print(json.dumps({
@@ -266,15 +281,13 @@ def main():
         "value": value,
         "unit": "rays/s",
         "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
-        "fwd_rays_per_s": headline.get("fwd_rays_per_s_slope",
-                                       headline["fwd_rays_per_s"]),
+        "fwd_rays_per_s": headline["fwd_rays_per_s"],
         "roofline_pct": headline["roofline_pct"],
         "configs": {k: per_config[k] for k in REPORT_ORDER
                     if k in per_config},
         "dispatch_overhead_ms": round(overhead * 1e3, 2),
         "fwdbwd_rays_per_s_sub": headline.get("fwdbwd_rays_per_s_sub"),
         "fwdbwd_raw_call_ms": headline.get("fwdbwd_raw_call_ms"),
-        "fwdbwd_lo_call_ms": headline.get("fwdbwd_lo_call_ms"),
         "samples_per_call": {"fwd": SAMPLES_FWD, "bwd": SAMPLES_BWD},
         "device": str(jax.devices()[0]),
     }))
