@@ -171,6 +171,39 @@ def _morton_order(tris: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+def _median_split_order(tris: np.ndarray, leaf: int = 64) -> np.ndarray:
+    """Spatial triangle order by recursive widest-axis median split.
+
+    Like :func:`_morton_order` this only reorders rows (hit semantics are
+    order-free); unlike a Z-curve, every aligned ``leaf``-row run is one
+    node of a median-split BVH, so the cull blocks pallas_hit3 slab-tests
+    get the tightest axis-aligned bounds a contiguous layout can give —
+    the TPU-idiomatic stand-in for the reference's octree (rt.rs:630-703).
+    ``MRT_TRI_ORDER=morton`` restores the Z-curve."""
+    n = tris.shape[0]
+    if n <= leaf:
+        return np.arange(n)
+    c = tris.mean(axis=1)  # (T, 3) centroids
+    order = np.empty(n, np.int64)
+    pos = 0
+    stack = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if idx.shape[0] <= leaf:
+            order[pos:pos + idx.shape[0]] = idx
+            pos += idx.shape[0]
+            continue
+        cc = c[idx]
+        axis = int(np.argmax(cc.max(0) - cc.min(0)))
+        # split at a leaf-multiple so every aligned 64-row block stays
+        # inside one subtree
+        half = ((idx.shape[0] // 2 + leaf - 1) // leaf) * leaf
+        part = np.argsort(cc[:, axis], kind="stable")
+        stack.append(idx[part[half:]])     # popped after the near half
+        stack.append(idx[part[:half]])
+    return order
+
+
 def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
     """Flatten a :class:`~.schema.SceneConfig` into :class:`SceneArrays`."""
     # -- collect rows per kind --
@@ -227,7 +260,12 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
                 v = obj.geometry["vtx"]
                 push(v[0], v[1], v[2], 0.0)
             elif obj.kind == "mesh":
-                for t in _morton_order(tris):
+                import os
+                if os.environ.get("MRT_TRI_ORDER", "split") == "morton":
+                    torder = _morton_order(tris)
+                else:
+                    torder = _median_split_order(tris)
+                for t in torder:
                     push(tris[t, 0], tris[t, 1], tris[t, 2], 0.0)
 
     # An empty scene still gets one all-invalid sphere segment so every

@@ -259,15 +259,20 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             iota_cb = jax.lax.broadcasted_iota(jnp.int32, (_CB, RT), 0)
 
             def cb_body(b, c):
+                t_best, r_best, g_best = c
+                if occl:
+                    # hit/no-hit is all the caller reads: division-free,
+                    # t-free any-hit block test, flag carried as -BIG
+                    ok = pallas_tri._tri_block_any(AT, HT, thr, o, d, b,
+                                                   tb=_CB)
+                    any_r = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
+                                    keepdims=True)
+                    return (jnp.where(any_r > 0.0, -_BIG, t_best),
+                            r_best, g_best)
                 t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b, tb=_CB)
                 rows = iota_cb + (tri_start + b * _CB)
-                t_best, r_best, g_best = c
                 tm = jnp.where(ok, t, _BIG)
                 bm = jnp.min(tm, axis=0, keepdims=True)
-                if occl:
-                    # hit/no-hit is all the caller reads: keep any t < BIG
-                    upd = bm < t_best
-                    return (jnp.where(upd, bm, t_best), r_best, g_best)
                 br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
                              keepdims=True)
                 upd = bm < t_best
@@ -284,39 +289,60 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             live_m = live if live is not None \
                 else jnp.ones(t_bound.shape, bool)
 
-            def _slab(b_tb):
-                """Per-lane (tmin, tmax) of cull-block AABB ``b_tb`` (1, 8)
-                vs the tile — shared by the up-front compaction and the
-                mid-loop gate re-test."""
+            def _slab(bi, o_rows, invd_rows):
+                """Per-lane (tmin, tmax) of cull-block ``bi``'s AABB vs the
+                tile — shared by the up-front compaction and the mid-loop
+                gate re-test. ``tbb`` lives in SMEM, so the bounds read as
+                true scalars and broadcast against any row layout (a (1,1)
+                VMEM slice cannot broadcast to (8, W) — Mosaic limitation).
+                Row layout follows ``o_rows``/``invd_rows``."""
                 tmin = None
                 tmax = None
                 for k in range(3):
-                    t1 = (b_tb[0:1, k:k + 1] - o[k:k + 1, :]) * invd[k]
-                    t2 = (b_tb[0:1, 3 + k:4 + k] - o[k:k + 1, :]) * invd[k]
+                    t1 = (tbb[bi, k] - o_rows[k]) * invd_rows[k]
+                    t2 = (tbb[bi, 3 + k] - o_rows[k]) * invd_rows[k]
                     near = jnp.minimum(t1, t2)
                     far = jnp.maximum(t1, t2)
                     tmin = near if tmin is None else jnp.maximum(tmin, near)
                     tmax = far if tmax is None else jnp.minimum(tmax, far)
                 return tmin, tmax
 
+            o_rows = [o[k:k + 1, :] for k in range(3)]
+            # the up-front slab tests reduce to scalars (hit/tkey), so run
+            # them at full register width: (1, RT) lane rows waste 7/8 of
+            # every (8, 128)-tiled vreg; the (8, RT/8) component reshape is
+            # Mosaic-native at 1024-lane multiples. With few swept blocks
+            # (shadow sweeps especially) the slab unroll otherwise costs a
+            # substantial fraction of the whole sweep.
+            if RT % 1024 == 0:
+                c8 = lambda x: jnp.reshape(x, (8, RT // 8))
+                oX = [c8(r) for r in o_rows]
+                invdX = [c8(v) for v in invd]
+                tbX = c8(t_bound)
+                liveX = c8(live_m.astype(jnp.float32)) > 0.5
+            else:
+                oX, invdX, tbX, liveX = o_rows, invd, t_bound, live_m
+
             def scoped(cand_ref, tmin_ref):
                 cnt = jnp.int32(0)
                 # farthest touched-slab exit per lane: a lane can never
                 # need a block whose entry lies beyond this, so lanes that
                 # miss every block stop holding the early cutoff open
-                tfar_all = jnp.full(t_bound.shape, -_BIG, jnp.float32)
+                # (only the near-sort cutoff reads it)
+                tfar_all = jnp.full(tbX.shape, -_BIG, jnp.float32)
                 for s in range(n_cb):                   # static unroll
-                    tmin, tmax = _slab(tbb[s:s + 1, :])
+                    tmin, tmax = _slab(s, oX, invdX)
                     # a block whose AABB starts beyond the lane's dense-kind
                     # best can't improve the min; occlusion lanes that found
                     # any hit already stop asking for more work
-                    touch = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= t_bound)
+                    touch = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= tbX)
                     if occl:
-                        touch &= t_bound >= _BIG * 0.5
+                        touch &= tbX >= _BIG * 0.5
                     if live is not None:
-                        touch &= live
-                    tfar_all = jnp.where(touch, jnp.maximum(tfar_all, tmax),
-                                         tfar_all)
+                        touch &= liveX
+                    if _NEAR_SORT:
+                        tfar_all = jnp.where(
+                            touch, jnp.maximum(tfar_all, tmax), tfar_all)
                     hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
                     # the tile's entry distance into this block (for the
                     # near-to-far sweep order): every touched lane's hits
@@ -355,7 +381,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                     # CURRENT bests and skip the whole (CB, RT) sweep when
                     # no lane demands it. The scf.if region costs ~150
                     # cycles when not taken vs ~1 us for a swept block.
-                    tmin, tmax = _slab(tbb[pl.ds(b, 1), :])
+                    tmin, tmax = _slab(b, o_rows, invd)
                     t_best = c[0]
                     need = (tmax >= jnp.maximum(tmin, 0.0)) & live_m
                     if occl:
@@ -381,13 +407,14 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                 # stops demanding once occluded or out of blocks)
                 def loop_cond(st):
                     j, (t_best, _, _) = st
+                    tfar_l = jnp.reshape(tfar_all, t_bound.shape)
                     if occl:
                         bound = jnp.max(jnp.where(
-                            live_m & (t_best >= _BIG * 0.5), tfar_all,
+                            live_m & (t_best >= _BIG * 0.5), tfar_l,
                             -_BIG))
                     else:
                         bound = jnp.max(jnp.where(
-                            live_m, jnp.minimum(t_best, tfar_all), -_BIG))
+                            live_m, jnp.minimum(t_best, tfar_l), -_BIG))
                     tj = tmin_ref[jnp.minimum(j, _CAND_MAX)]
                     return (j < cnt) & (tj <= bound)
 
@@ -586,7 +613,8 @@ def _call_hit(layout, consts, o, d, need_exit):
 
     tbb_specs, tbb_args = [], []
     if tbb is not None:
-        tbb_specs, tbb_args = [cspec(tbb)], [tbb]
+        tbb_specs, tbb_args = \
+            [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
     kern = partial(_hit_kernel, layout, need_exit, tbb is not None)
     te, row, tx, xrow = pl.pallas_call(
         kern,

@@ -793,7 +793,9 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
     thr = pallas_tri._pad_p(thr, fill=_BIG)
     Rp = oT.shape[1]
     P_pad = gid.shape[0]
-    scratch_rows = max(P_pad, 8)
+    # the exit stash is only written under need_exit; opaque scenes get a
+    # minimal scratch so wide lane tiles fit VMEM
+    scratch_rows = max(P_pad, 8) if need_exit else 8
     dk = jnp.asarray(decay, jnp.float32).reshape(1, 1)
 
     def cspec(arr):
@@ -825,7 +827,8 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
                    tbb is not None)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
-        tbb_specs, tbb_args = [cspec(tbb)], [tbb]
+        tbb_specs, tbb_args = \
+            [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex
@@ -1001,7 +1004,9 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
     thr = pallas_tri._pad_p(thr, fill=_BIG)
     Rp = o0T.shape[1]
     P_pad = gid.shape[0]
-    scratch_rows = max(P_pad, 8)
+    # the exit stash is only written under need_exit; opaque scenes get a
+    # minimal scratch so wide lane tiles fit VMEM
+    scratch_rows = max(P_pad, 8) if need_exit else 8
     dk = jnp.asarray(dk, jnp.float32).reshape(1, 1)
 
     def cspec(arr):
@@ -1030,7 +1035,8 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
                    tbb is not None, skip, c0 is not None, want_cout)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
-        tbb_specs, tbb_args = [cspec(tbb)], [tbb]
+        tbb_specs, tbb_args = \
+            [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex

@@ -157,6 +157,45 @@ def _tri_block(A_r, H_r, thr_r, o, d, b, tb=None):
     return t, ok
 
 
+def _tri_block_any(A_r, H_r, thr_r, o, d, b, tb=None):
+    """Occlusion form of :func:`_tri_block`: hit-or-not only, no division.
+
+    An occlusion query never reads t, so the tests run multiplied through
+    by ``D^2 > 0`` (``D = d'_z``): with ``Pu = (o'_x D - o'_z d'_x) D =
+    u D^2`` (and Pv likewise), ``u in [0,1]`` iff ``0 <= Pu <= D^2``, and
+    ``t >= 0`` iff ``o'_z D <= 0``. Same ``|det| >= E`` guard as the entry
+    form; the division-free products round differently only at exact
+    u/v/t boundaries (measure-zero grazing pairs the E-guard already
+    excludes in practice)."""
+    if tb is None:
+        tb = PRIM_BLOCK
+    sl = pl.ds(b * tb, tb)
+    A = A_r[sl, :]
+    oc = [o[k:k + 1, :] for k in range(3)]
+    dc = [d[k:k + 1, :] for k in range(3)]
+
+    def prod(k, v):
+        return (A[:, 3 * k:3 * k + 1] * v[0]
+                + A[:, 3 * k + 1:3 * k + 2] * v[1]
+                + A[:, 3 * k + 2:3 * k + 3] * v[2])
+
+    h = H_r[sl, :]
+    oxt = prod(0, oc) + h[:, 0:1]
+    oyt = prod(1, oc) + h[:, 1:2]
+    ozt = prod(2, oc) + h[:, 2:3]
+    dxt = prod(0, dc)
+    dyt = prod(1, dc)
+    D = prod(2, dc)
+    thr = thr_r[sl, :]
+    ok = jnp.abs(D) >= thr
+    D2 = D * D
+    Pu = (oxt * D - ozt * dxt) * D
+    Pv = (oyt * D - ozt * dyt) * D
+    ok &= (Pu >= 0.0) & (Pu <= D2) & (Pv >= 0.0) & (Pu + Pv <= D2)
+    ok &= ozt * D <= 0.0
+    return ok
+
+
 def _entry_reduce(tm, rows, carry):
     t_best, r_best = carry
     bm = jnp.min(tm, axis=0, keepdims=True)              # (1, RT)
