@@ -204,3 +204,36 @@ def test_resort_radiance_bitwise_identical(monkeypatch):
         monkeypatch.setenv("MRT_RESORT", "1")
         b = run()
         np.testing.assert_array_equal(a, b)
+
+
+def test_minecraft_mini_composite_matches_oracle():
+    """Minecraft-mini: instancing x mesh x texture maps composed in ONE
+    scene (rt.rs:725-793 + 811-863 together) — two instanced checker-
+    textured boxes (one rotated), a glass tetra mesh, a dir light and a
+    lit sky. Covers the interaction no single-feature oracle test
+    composes; pixels chosen on each object (probed via closest_hit)."""
+    checker = {"w": 2, "h": 2, "dat": [[1, 1, 1], [0.2, 0.2, 0.2],
+                                       [0.2, 0.2, 0.2], [1, 1, 1]]}
+    cfg = schema.RenderConfig.from_json({
+        "frame": {"res": [64, 64], "cam": {"pos": [0, -1.6, 0.25]}},
+        "scene": {
+            "renderer": [
+                {"type": "box", "sizes": [0.3, 0.3, 0.3],
+                 "inst": [[[-0.5, 0.2, -0.2], [0, 0, -1, 0]],
+                          [[0.5, 0.3, -0.2], [0, 0.6, 0.4, 0]]],
+                 "mat": {"tex": checker, "rough": 0.8}},
+                {"type": "mesh", "mesh": _TETRA, "pos": [0, -0.1, 0.3],
+                 "mat": {"glass": 0.08, "opacity": 0.0}},
+                {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+                 "mat": {"rough": 1.0}},
+            ],
+            "light": [{"type": "dir", "dir": [0.3, 0.5, -1], "pwr": 0.6}],
+            "sky": {"color": [0.15, 0.2, 0.3], "pwr": 0.5},
+        },
+    })
+    cfg.rt.bounce = 4
+    # (x, y): glass mesh / left box / rotated right box / open plane
+    pix = [(32, 28), (18, 42), (44, 42), (10, 50)]
+    a = _oracle(cfg, pix, 300)
+    b = _ours(cfg, pix, 1800)
+    np.testing.assert_allclose(b, a, atol=0.03, rtol=0.3)

@@ -181,3 +181,75 @@ def test_step_kernel_full_trace_matches(which, monkeypatch):
     monkeypatch.setenv("MRT_STEP", "1")
     b = run()
     np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
+
+
+def test_compact_perm_is_stable_live_first_partition():
+    """_compact_perm: live lanes keep relative order in leading slots,
+    dead lanes follow, for every reshape branch (512/128/1 inner tile)."""
+    from micro_raytracer_tpu.models.tracer import _compact_perm
+
+    rng = np.random.default_rng(11)
+    for n in (2048, 512, 256, 128, 96):
+        for frac in (0.0, 0.02, 0.5, 1.0):
+            live = (rng.random(n) < frac).astype(np.float32)
+            perm = np.asarray(_compact_perm(jnp.asarray(live)))
+            assert sorted(perm.tolist()) == list(range(n))
+            lanes_live = np.nonzero(live > 0.5)[0]
+            lanes_dead = np.nonzero(live <= 0.5)[0]
+            na = lanes_live.size
+            np.testing.assert_array_equal(perm[:na], lanes_live)
+            np.testing.assert_array_equal(perm[na:], lanes_dead)
+
+
+def test_compaction_radiance_bitwise_identical(monkeypatch):
+    """Live-first lane compaction between whole-trace segments is pure
+    scheduling: radiance must be BITWISE identical with it on or off
+    (the trace_fused docstring's claim, as a test). Runs the triangle
+    (glass+mesh) scene where compaction is default-on, through the
+    whole-trace kernel in interpret mode, at a bounce deep enough to
+    cross both default cuts (3, 6)."""
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(4, 60, 4), np.arange(4, 60, 4))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    monkeypatch.setenv("MRT_STEP", "1")
+
+    def run():
+        return np.asarray(trace_radiance(scene, cam, (64, 64), 8,
+                                         jnp.float32(0.15), coords, key,
+                                         inference=True))
+
+    monkeypatch.setenv("MRT_COMPACT", "0")
+    base = run()
+    monkeypatch.setenv("MRT_COMPACT", "1")
+    comp = run()
+    assert np.asarray(base).max() > 0  # scene actually renders something
+    np.testing.assert_array_equal(comp, base)
+
+
+def test_compaction_forced_on_spheres_bitwise_identical(monkeypatch):
+    """MRT_COMPACT=1 forces compaction on non-triangle scenes too (the
+    opt-in path); radiance must still be bitwise identical."""
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["opaque"]))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    monkeypatch.setenv("MRT_STEP", "1")
+
+    def run():
+        return np.asarray(trace_radiance(scene, cam, (64, 64), 8,
+                                         jnp.float32(0.15), coords, key,
+                                         inference=True))
+
+    monkeypatch.setenv("MRT_COMPACT", "0")
+    base = run()
+    monkeypatch.setenv("MRT_COMPACT", "1")
+    comp = run()
+    assert np.asarray(base).max() > 0
+    np.testing.assert_array_equal(comp, base)

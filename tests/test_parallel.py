@@ -143,3 +143,101 @@ def test_distributed_multiprocess():
         [sys.executable, "/root/repo/tools/distributed_check.py",
          "--procs", "2"], timeout=280)
     assert rc == 0
+
+
+# refracting triangle-mesh scene: exercises the static-elision variants the
+# single rough sphere can't (any_refract=True, triangle segment fallbacks)
+_TETRA = [
+    [[0.0, 0.0, 0.35], [-0.3, -0.2, -0.25], [0.3, -0.2, -0.25]],
+    [[0.0, 0.0, 0.35], [0.3, -0.2, -0.25], [0.0, 0.3, -0.25]],
+    [[0.0, 0.0, 0.35], [0.0, 0.3, -0.25], [-0.3, -0.2, -0.25]],
+    [[-0.3, -0.2, -0.25], [0.3, -0.2, -0.25], [0.0, 0.3, -0.25]],
+]
+GLASS_MESH_SCENE = {
+    "renderer": [
+        {"type": "mesh", "mesh": _TETRA,
+         "mat": {"glass": 0.08, "opacity": 0.0}},
+        {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.4],
+         "mat": {"rough": 1.0, "albedo": [0.7, 0.6, 0.5]}},
+    ],
+    "light": [{"type": "point", "pos": [-0.4, -1, 0.8], "pwr": 0.6}],
+    "sky": {"color": [0.2, 0.25, 0.35], "pwr": 0.5},
+}
+
+
+def _center_coords(n, wh=64):
+    ys, xs = np.divmod(np.arange(n, dtype=np.int64), 8)
+    return jnp.asarray(
+        np.stack([xs + wh // 2 - 4, ys + wh // 2 - 4], -1).astype(np.float32))
+
+
+def test_sharded_render_glass_mesh_matches_single():
+    """dp/sp render equivalence on a refracting triangle scene."""
+    scene = compile_scene(schema.SceneConfig.from_json(GLASS_MESH_SCENE))
+    cam = compile_camera(schema.CameraConfig.from_json({}))
+    mesh = make_mesh(8)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    fn = shard.make_sharded_render(mesh, (64, 64), 3)
+    coords = _center_coords(dp * 16)
+    key = jax.random.PRNGKey(2)
+    out = np.asarray(fn(scene, cam, jnp.float32(0.15), coords, key))
+    assert np.abs(out).max() > 1e-3, "scene rendered black"
+
+    per = coords.shape[0] // dp
+    want = []
+    for d_i in range(dp):
+        c = coords[d_i * per:(d_i + 1) * per]
+        acc = 0.0
+        for s_i in range(sp):
+            k = jax.random.fold_in(jax.random.fold_in(key, d_i), s_i)
+            acc = acc + trace_radiance(scene, cam, (64, 64), 3,
+                                       jnp.float32(0.15), c, k)
+        want.append(np.asarray(acc / sp))
+    np.testing.assert_allclose(out, np.concatenate(want), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_train_step_glass_mesh_sharded_matches_single():
+    """Sharded training-step equivalence on the refracting tetra-mesh
+    scene: loss and updated params match the spelled-out single-device
+    computation, and the gradients are nonzero (lit scene)."""
+    scene = compile_scene(schema.SceneConfig.from_json(GLASS_MESH_SCENE))
+    cam = compile_camera(schema.CameraConfig.from_json({}))
+    mesh = make_mesh(8)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    step = shard.make_train_step(mesh, (64, 64), 2, lr=1e-2)
+    params, _ = shard.split_params(scene)
+    coords = _center_coords(dp * 16)
+    target = jnp.zeros((coords.shape[0], 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    loss_cfg = jnp.float32(0.15)
+    loss, new_params = step(params, scene, cam, loss_cfg, coords, target,
+                            key)
+    loss = float(loss)
+    assert loss > 1e-3, "loss ~ 0: the equivalence below would be vacuous"
+    delta = sum(float(jnp.sum(jnp.abs(new_params[k] - params[k])))
+                for k in params)
+    assert delta > 1e-6, "all gradient leaves are exactly zero"
+
+    per = coords.shape[0] // dp
+
+    def ref_loss(p):
+        s = shard.merge_params(scene, p)
+        losses = []
+        for d_i in range(dp):
+            c = coords[d_i * per:(d_i + 1) * per]
+            tgt = target[d_i * per:(d_i + 1) * per]
+            rad = 0.0
+            for s_i in range(sp):
+                k = jax.random.fold_in(jax.random.fold_in(key, d_i), s_i)
+                rad = rad + trace_radiance(s, cam, (64, 64), 2, loss_cfg,
+                                           c, k)
+            losses.append(jnp.mean((rad / sp - tgt) ** 2))
+        return jnp.mean(jnp.stack(losses))
+
+    ref_l, ref_g = jax.jit(jax.value_and_grad(ref_loss))(params)
+    assert abs(loss - float(ref_l)) < 1e-4 * max(1.0, abs(float(ref_l)))
+    for k in params:
+        want = np.asarray(params[k] - 1e-2 * ref_g[k])
+        np.testing.assert_allclose(np.asarray(new_params[k]), want,
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
