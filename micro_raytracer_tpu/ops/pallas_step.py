@@ -75,11 +75,18 @@ _MAX_TEX_BLOCKS = 512
 _MAX_TEXTURES = 16
 
 # Ray-tile sizes for the step kernels (lanes per grid program). The
-# backward kernel carries ~3x the live intermediates of the forward, and
-# measures fastest at a larger tile (fewer grid programs, same VMEM fit):
-# 512/1024 on v5e. Env knobs for experiments.
+# backward kernel was long pinned at 1024 lanes by the component
+# relayout's Mosaic shape-cast limit; with (RT/128, 128) blocks it tiles
+# at 8192 like the forward — 144 grid programs instead of 1152 per
+# CornellBox sample, bwd kernel 2.73 -> 1.82 ms/sample measured (the
+# per-program floor and the O(RT)-vreg transposed-one-hot scatter were
+# half the kernel). Env knobs for experiments.
 _TILE_FWD = int(os.environ.get("MRT_STEP_RT", "512"))
+# per-step backward (scan path, comp bundles relayouted OUTSIDE the
+# kernel): VMEM-bound at wide tiles, keeps the tuned 1024
 _TILE_BWD = int(os.environ.get("MRT_STEP_BWD_RT", "1024"))
+# whole-trace backward (in-kernel relayout, (RT/128, 128) blocks)
+_TILE_TBWD = int(os.environ.get("MRT_TRACE_BWD_RT", "8192"))
 _TILE_PAD = max(_TILE_FWD, _TILE_BWD)
 
 
@@ -244,6 +251,39 @@ def pack_step(scene, frames, tri_pack):
     return consts, attr, lights, tex
 
 
+def _kinds_present(layout):
+    """Static set of non-tri kinds in the scene + whether triangles exist.
+
+    The per-ray glue (winner-t, normals, uv) selects between per-kind
+    formulas by the winner row's segment; kinds with no rows can never be
+    selected, so their formulas — and, in the backward megakernel, their
+    machine-derived transposes — compile to nothing. CornellBox-class
+    scenes (spheres+planes) drop the box slab/quirk math entirely; the
+    values on every selectable row are bit-identical."""
+    segs, _tri_start, n_tri = layout
+    return {k for k, _s, _c in segs}, bool(n_tri)
+
+
+def _kind_select(layout, row, values, tri_value, where):
+    """Fold the per-kind values into one via the segment select chain.
+
+    ``values``: dict kind -> value for the PRESENT kinds only;
+    ``tri_value``: the triangle-region value (or None when no triangles);
+    ``where``: the where-combinator matching the value shape (jnp.where
+    for single blocks, _vwhere for 3-tuples). The chain seeds with the
+    last selectable region's value so one redundant select drops out."""
+    segs, _tri_start, n_tri = layout
+    bounds = [(k, s + c) for k, s, c in segs]
+    if n_tri:
+        out = tri_value
+    else:
+        out = values[bounds[-1][0]]
+        bounds = bounds[:-1]
+    for kind, end in reversed(bounds):
+        out = where(row < end, values[kind], out)
+    return out
+
+
 def _rows3(att, c):
     return att[c:c + 3, :]
 
@@ -269,39 +309,39 @@ def _safe_norm_rows(v, eps=1e-20):
 
 def _normal_rows(layout, att, p, row):
     """World-space normal from fetched attribute rows (rt.rs:776-793),
-    mirroring intersect.normal_from_attrs including the box quirk."""
-    segs, tri_start, n_tri = layout
+    mirroring intersect.normal_from_attrs including the box quirk.
+    Specialized to the kinds present (absent formulas compile to nothing)."""
+    kinds, _has_tri = _kinds_present(layout)
     ip = _rows3(att, _C_IP)
-    hp = ip + _matvec_rows(att, p - ip)
     pa = _rows3(att, _C_NA)
+    need_hp = bool(kinds & {schema.KIND_SPHERE, schema.KIND_BOX})
+    hp = ip + _matvec_rows(att, p - ip) if need_hp else None
 
-    n_sph = hp - ip
-    n_pln = pa
-    sizes = jnp.where(pa == 0.0, 1.0, pa)
-    q = (hp - ip) * (2.0 / sizes)
-    qx, qy, qz = q[0:1], q[1:2], q[2:3]
-    ix1, ix_1 = jnp.abs(qx - 1.0) < EPS, jnp.abs(qx + 1.0) < EPS
-    iy1, iy_1 = jnp.abs(qy - 1.0) < EPS, jnp.abs(qy + 1.0) < EPS
-    iz1, iz_1 = jnp.abs(qz - 1.0) < EPS, jnp.abs(qz + 1.0) < EPS
-    zero = jnp.zeros_like(qx)
-    one = jnp.ones_like(qx)
-    base_x = jnp.where(ix1, one, jnp.where(ix_1, -one, zero))
-    base_y = jnp.where(ix1 | ix_1, zero,
-                       jnp.where(iy1, one, jnp.where(iy_1, -one, zero)))
-    # z test NOT chained to x/y (missing `else`, rt.rs:435)
-    anyz = iz1 | iz_1
-    n_box = jnp.concatenate([
-        jnp.where(anyz, zero, base_x),
-        jnp.where(anyz, zero, base_y),
-        jnp.where(iz1, one, jnp.where(iz_1, -one, zero))], axis=0)
-    n_tri_ = pa
+    vals = {}
+    if schema.KIND_SPHERE in kinds:
+        vals[schema.KIND_SPHERE] = hp - ip
+    if schema.KIND_PLANE in kinds:
+        vals[schema.KIND_PLANE] = pa
+    if schema.KIND_BOX in kinds:
+        sizes = jnp.where(pa == 0.0, 1.0, pa)
+        q = (hp - ip) * (2.0 / sizes)
+        qx, qy, qz = q[0:1], q[1:2], q[2:3]
+        ix1, ix_1 = jnp.abs(qx - 1.0) < EPS, jnp.abs(qx + 1.0) < EPS
+        iy1, iy_1 = jnp.abs(qy - 1.0) < EPS, jnp.abs(qy + 1.0) < EPS
+        iz1, iz_1 = jnp.abs(qz - 1.0) < EPS, jnp.abs(qz + 1.0) < EPS
+        zero = jnp.zeros_like(qx)
+        one = jnp.ones_like(qx)
+        base_x = jnp.where(ix1, one, jnp.where(ix_1, -one, zero))
+        base_y = jnp.where(ix1 | ix_1, zero,
+                           jnp.where(iy1, one, jnp.where(iy_1, -one, zero)))
+        # z test NOT chained to x/y (missing `else`, rt.rs:435)
+        anyz = iz1 | iz_1
+        vals[schema.KIND_BOX] = jnp.concatenate([
+            jnp.where(anyz, zero, base_x),
+            jnp.where(anyz, zero, base_y),
+            jnp.where(iz1, one, jnp.where(iz_1, -one, zero))], axis=0)
 
-    n_obj = n_tri_
-    bounds = [(kind, s + c) for kind, s, c in segs]
-    for kind, end in reversed(bounds):
-        nk = {schema.KIND_SPHERE: n_sph, schema.KIND_PLANE: n_pln,
-              schema.KIND_BOX: n_box}[kind]
-        n_obj = jnp.where(row < end, nk, n_obj)
+    n_obj = _kind_select(layout, row, vals, pa, jnp.where)
     n = _safe_norm_rows(_matvec_rows(att, n_obj))
     return jnp.where(jnp.isfinite(n), n, 0.0)
 
@@ -335,54 +375,55 @@ def _uv_rows(layout, att, p, row):
     """Texture coordinates from fetched attribute rows (rt.rs:468-548),
     mirroring intersect.uv_from_attrs: sphere spherical map, plane
     negative-wrap fract tiling, box 4x3 cross atlas, triangles 0."""
-    segs, tri_start, n_tri = layout
+    kinds, _has_tri = _kinds_present(layout)
     ip = _rows3(att, _C_IP)
     hp = ip + _matvec_rows(att, p - ip)
     rel = hp - ip
-    # sphere: unguarded normalize, like the jnp path (degenerate lanes
-    # produce garbage uv on both sides; inference-only so no NaN-grad risk)
-    inv = jax.lax.rsqrt(jnp.maximum(_dot3(rel, rel), 1e-37))
-    u_sph = 0.5 + 0.5 * _atan2_rows(rel[0:1] * inv, -(rel[1:2] * inv)) / _PI
-    v_sph = 0.5 - 0.5 * (rel[2:3] * inv)
-    # plane: fract with negative wrap (rt.rs:528-542)
-    fx = (hp[0:1] + 0.5) - jnp.trunc(hp[0:1] + 0.5)
-    fy = (hp[1:2] + 0.5) - jnp.trunc(hp[1:2] + 0.5)
-    u_pln = jnp.where(fx < 0, 1.0 + fx, fx)
-    v_pln = jnp.where(fy < 0, 1.0 + fy, fy)
-    # box cross atlas (rt.rs:468-515); pa rows hold the box sizes
-    pa = _rows3(att, _C_NA)
-    sizes = jnp.where(pa == 0.0, 1.0, pa)
-    q = rel * (2.0 / sizes)
-    qx, qy, qz = q[0:1], q[1:2], q[2:3]
-    faces = [  # (cond_axis, cond_target, u, v) in rt.rs test order
-        (qx, 1.0, (0.5 + 0.5 * qy) / 4.0 + 2.0 / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qx, -1.0, (0.5 - 0.5 * qy) / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qy, 1.0, (0.5 - 0.5 * qx) / 4.0 + 3.0 / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qy, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qz, 1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
-         (0.5 - 0.5 * qy) / 3.0),
-        (qz, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
-         (0.5 + 0.5 * qy) / 3.0 + 2.0 / 3.0),
-    ]
-    zero = jnp.zeros_like(qx)
-    u_box, v_box = zero, zero
-    for axis, target, uu, vv in reversed(faces):
-        c = jnp.abs(axis - target) < EPS
-        u_box = jnp.where(c, uu, u_box)
-        v_box = jnp.where(c, vv, v_box)
-    u_out, v_out = zero, zero  # triangles: uv = 0 (reference todo!())
-    bounds = [(kind, s + c) for kind, s, c in segs]
-    for kind, end in reversed(bounds):
-        uk, vk = {schema.KIND_SPHERE: (u_sph, v_sph),
-                  schema.KIND_PLANE: (u_pln, v_pln),
-                  schema.KIND_BOX: (u_box, v_box)}[kind]
-        u_out = jnp.where(row < end, uk, u_out)
-        v_out = jnp.where(row < end, vk, v_out)
-    return u_out, v_out
+    vals = {}
+    if schema.KIND_SPHERE in kinds:
+        # sphere: unguarded normalize, like the jnp path (degenerate lanes
+        # produce garbage uv on both sides; inference-only, no NaN-grad risk)
+        inv = jax.lax.rsqrt(jnp.maximum(_dot3(rel, rel), 1e-37))
+        u_sph = (0.5
+                 + 0.5 * _atan2_rows(rel[0:1] * inv, -(rel[1:2] * inv)) / _PI)
+        vals[schema.KIND_SPHERE] = (u_sph, 0.5 - 0.5 * (rel[2:3] * inv))
+    if schema.KIND_PLANE in kinds:
+        # plane: fract with negative wrap (rt.rs:528-542)
+        fx = (hp[0:1] + 0.5) - jnp.trunc(hp[0:1] + 0.5)
+        fy = (hp[1:2] + 0.5) - jnp.trunc(hp[1:2] + 0.5)
+        vals[schema.KIND_PLANE] = (jnp.where(fx < 0, 1.0 + fx, fx),
+                                   jnp.where(fy < 0, 1.0 + fy, fy))
+    zero = jnp.zeros_like(rel[0:1])
+    if schema.KIND_BOX in kinds:
+        # box cross atlas (rt.rs:468-515); pa rows hold the box sizes
+        pa = _rows3(att, _C_NA)
+        sizes = jnp.where(pa == 0.0, 1.0, pa)
+        q = rel * (2.0 / sizes)
+        qx, qy, qz = q[0:1], q[1:2], q[2:3]
+        faces = [  # (cond_axis, cond_target, u, v) in rt.rs test order
+            (qx, 1.0, (0.5 + 0.5 * qy) / 4.0 + 2.0 / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qx, -1.0, (0.5 - 0.5 * qy) / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qy, 1.0, (0.5 - 0.5 * qx) / 4.0 + 3.0 / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qy, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qz, 1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+             (0.5 - 0.5 * qy) / 3.0),
+            (qz, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+             (0.5 + 0.5 * qy) / 3.0 + 2.0 / 3.0),
+        ]
+        u_box, v_box = zero, zero
+        for axis, target, uu, vv in reversed(faces):
+            c = jnp.abs(axis - target) < EPS
+            u_box = jnp.where(c, uu, u_box)
+            v_box = jnp.where(c, vv, v_box)
+        vals[schema.KIND_BOX] = (u_box, v_box)
+    # triangles: uv = 0 (reference todo!())
+    where2 = lambda c, a, b: (jnp.where(c, a[0], b[0]),
+                              jnp.where(c, a[1], b[1]))
+    return _kind_select(layout, row, vals, (zero, zero), where2)
 
 
 def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
@@ -487,13 +528,27 @@ def _split3(tab):
     return hi, mid, lo
 
 
+_FETCH_PASSES = int(os.environ.get("MRT_FETCH_PASSES", "2"))
+
+
 def _onehot_dot(tab, oh, dims):
-    """``dot_general(tab, oh, dims)`` where ``oh`` is a 0/1 one-hot:
-    f32-exact via three DEFAULT-precision passes (see :func:`_split3`)."""
+    """``dot_general(tab, oh, dims)`` where ``oh`` is a 0/1 one-hot, via
+    DEFAULT-precision passes against the nested bf16 split of ``tab``
+    (see :func:`_split3`).
+
+    ``MRT_FETCH_PASSES`` picks the accuracy/speed point: 3 passes
+    reconstruct the f32 product exactly (bitwise-equal grads vs the jnp
+    path); the default 2 passes (hi+mid) carry ~2^-17 relative error —
+    5 orders below the grad gate (tools/grad_check.py, 5e-3) and
+    invisible in u8 goldens — and drop a third of the fetch+scatter MXU
+    time in both megakernels."""
     hi, mid, lo = _split3(tab)
     d = partial(jax.lax.dot_general, dimension_numbers=dims,
                 precision=jax.lax.Precision.DEFAULT)
-    return (d(hi, oh) + d(mid, oh)) + d(lo, oh)
+    out = d(hi, oh) + d(mid, oh)
+    if _FETCH_PASSES >= 3:
+        out = out + d(lo, oh)
+    return out
 
 
 def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
@@ -1124,7 +1179,40 @@ def _vmatvec(at, v):
                  + _att(at, 3 * k + 2) * v[2] for k in range(3))
 
 
+_VN_EPS = 1e-20
+
+
+@jax.custom_vjp
+def _vnorm_safe_cv(v0, v1, v2):
+    s = v0 * v0 + v1 * v1 + v2 * v2
+    inv = jax.lax.rsqrt(jnp.maximum(s, _VN_EPS))
+    return v0 * inv, v1 * inv, v2 * inv
+
+
+def _vnorm_cv_fwd(v0, v1, v2):
+    return _vnorm_safe_cv(v0, v1, v2), (v0, v1, v2)
+
+
+def _vnorm_cv_bwd(res, cts):
+    # hand-derived transpose of normalize: d_v = inv*(ct - out*(out.ct)),
+    # with the guarded branch (s <= eps) keeping inv constant. ~2x fewer
+    # vector ops than the machine transpose of rsqrt/max/mul — this is the
+    # innermost op of the backward megakernel (6 calls per bounce).
+    v0, v1, v2 = res
+    c0, c1, c2 = cts
+    s = v0 * v0 + v1 * v1 + v2 * v2
+    inv = jax.lax.rsqrt(jnp.maximum(s, _VN_EPS))
+    t = v0 * c0 + v1 * c1 + v2 * c2
+    g = jnp.where(s >= _VN_EPS, t * inv * inv, 0.0) * inv
+    return (inv * c0 - g * v0, inv * c1 - g * v1, inv * c2 - g * v2)
+
+
+_vnorm_safe_cv.defvjp(_vnorm_cv_fwd, _vnorm_cv_bwd)
+
+
 def _vnorm_safe(v, eps=1e-20):
+    if eps == _VN_EPS:
+        return _vnorm_safe_cv(*v)
     inv = jax.lax.rsqrt(jnp.maximum(_vdot(v, v), eps))
     return _vscale(v, inv)
 
@@ -1134,34 +1222,40 @@ def _vfinite0(v):
 
 
 def _normal_comp(layout, at, p, row):
-    """Component-form twin of `_normal_rows` (rt.rs:776-793 + box quirk)."""
-    segs, tri_start, n_tri = layout
+    """Component-form twin of `_normal_rows` (rt.rs:776-793 + box quirk),
+    specialized to the kinds present."""
+    kinds, _has_tri = _kinds_present(layout)
     ip = _v3(at, _C_IP)
-    hp = _vadd(ip, _vmatvec(at, _vsub(p, ip)))
     pa = _v3(at, _C_NA)
+    need_hp = bool(kinds & {schema.KIND_SPHERE, schema.KIND_BOX})
+    hp = _vadd(ip, _vmatvec(at, _vsub(p, ip))) if need_hp else None
 
-    n_sph = _vsub(hp, ip)
-    n_pln = pa
-    q = tuple((hp[k] - ip[k]) * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
-              for k in range(3))
-    ix1, ix_1 = jnp.abs(q[0] - 1.0) < EPS, jnp.abs(q[0] + 1.0) < EPS
-    iy1, iy_1 = jnp.abs(q[1] - 1.0) < EPS, jnp.abs(q[1] + 1.0) < EPS
-    iz1, iz_1 = jnp.abs(q[2] - 1.0) < EPS, jnp.abs(q[2] + 1.0) < EPS
-    zero = jnp.zeros_like(q[0])
-    one = jnp.ones_like(q[0])
-    base_x = jnp.where(ix1, one, jnp.where(ix_1, -one, zero))
-    base_y = jnp.where(ix1 | ix_1, zero,
-                       jnp.where(iy1, one, jnp.where(iy_1, -one, zero)))
-    # z test NOT chained to x/y (missing `else`, rt.rs:435)
-    anyz = iz1 | iz_1
-    n_box = (jnp.where(anyz, zero, base_x), jnp.where(anyz, zero, base_y),
-             jnp.where(iz1, one, jnp.where(iz_1, -one, zero)))
+    vals = {}
+    if schema.KIND_SPHERE in kinds:
+        vals[schema.KIND_SPHERE] = _vsub(hp, ip)
+    if schema.KIND_PLANE in kinds:
+        vals[schema.KIND_PLANE] = pa
+    if schema.KIND_BOX in kinds:
+        q = tuple((hp[k] - ip[k])
+                  * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
+                  for k in range(3))
+        ix1, ix_1 = jnp.abs(q[0] - 1.0) < EPS, jnp.abs(q[0] + 1.0) < EPS
+        iy1, iy_1 = jnp.abs(q[1] - 1.0) < EPS, jnp.abs(q[1] + 1.0) < EPS
+        iz1, iz_1 = jnp.abs(q[2] - 1.0) < EPS, jnp.abs(q[2] + 1.0) < EPS
+        zero = jnp.zeros_like(q[0])
+        one = jnp.ones_like(q[0])
+        base_x = jnp.where(ix1, one, jnp.where(ix_1, -one, zero))
+        base_y = jnp.where(ix1 | ix_1, zero,
+                           jnp.where(iy1, one, jnp.where(iy_1, -one, zero)))
+        # z test NOT chained to x/y (missing `else`, rt.rs:435)
+        anyz = iz1 | iz_1
+        vals[schema.KIND_BOX] = (jnp.where(anyz, zero, base_x),
+                                 jnp.where(anyz, zero, base_y),
+                                 jnp.where(iz1, one,
+                                           jnp.where(iz_1, -one, zero)))
 
-    n_obj = pa  # triangle: raw cross-product normal from the attr table
-    for kind, end in reversed([(k, s + c) for k, s, c in segs]):
-        nk = {schema.KIND_SPHERE: n_sph, schema.KIND_PLANE: n_pln,
-              schema.KIND_BOX: n_box}[kind]
-        n_obj = _vwhere(row < end, nk, n_obj)
+    # triangle: raw cross-product normal from the attr table (pa rows)
+    n_obj = _kind_select(layout, row, vals, pa, _vwhere)
     return _vfinite0(_vnorm_safe(_vmatvec(at, n_obj)))
 
 
@@ -1169,49 +1263,50 @@ def _uv_comp(layout, at, p, row):
     """Component-form twin of `_uv_rows` (rt.rs:468-548): sphere spherical
     map (Cephes atan2 — elementwise, shape-agnostic), plane negative-wrap
     fract tiling, box 4x3 cross atlas, triangles 0."""
-    segs, tri_start, n_tri = layout
+    kinds, _has_tri = _kinds_present(layout)
     ip = _v3(at, _C_IP)
     hp = _vadd(ip, _vmatvec(at, _vsub(p, ip)))
     rel = _vsub(hp, ip)
-    inv = jax.lax.rsqrt(jnp.maximum(_vdot(rel, rel), 1e-37))
-    u_sph = 0.5 + 0.5 * _atan2_rows(rel[0] * inv, -(rel[1] * inv)) / _PI
-    v_sph = 0.5 - 0.5 * (rel[2] * inv)
-    fx = (hp[0] + 0.5) - jnp.trunc(hp[0] + 0.5)
-    fy = (hp[1] + 0.5) - jnp.trunc(hp[1] + 0.5)
-    u_pln = jnp.where(fx < 0, 1.0 + fx, fx)
-    v_pln = jnp.where(fy < 0, 1.0 + fy, fy)
-    pa = _v3(at, _C_NA)
-    q = tuple(rel[k] * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
-              for k in range(3))
-    qx, qy, qz = q
-    faces = [  # (cond_axis, cond_target, u, v) in rt.rs test order
-        (qx, 1.0, (0.5 + 0.5 * qy) / 4.0 + 2.0 / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qx, -1.0, (0.5 - 0.5 * qy) / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qy, 1.0, (0.5 - 0.5 * qx) / 4.0 + 3.0 / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qy, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
-         (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
-        (qz, 1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
-         (0.5 - 0.5 * qy) / 3.0),
-        (qz, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
-         (0.5 + 0.5 * qy) / 3.0 + 2.0 / 3.0),
-    ]
-    zero = jnp.zeros_like(qx)
-    u_box, v_box = zero, zero
-    for axis, target, uu, vv in reversed(faces):
-        c = jnp.abs(axis - target) < EPS
-        u_box = jnp.where(c, uu, u_box)
-        v_box = jnp.where(c, vv, v_box)
-    u_out, v_out = zero, zero  # triangles: uv = 0 (reference todo!())
-    for kind, end in reversed([(k, s + c) for k, s, c in segs]):
-        uk, vk = {schema.KIND_SPHERE: (u_sph, v_sph),
-                  schema.KIND_PLANE: (u_pln, v_pln),
-                  schema.KIND_BOX: (u_box, v_box)}[kind]
-        u_out = jnp.where(row < end, uk, u_out)
-        v_out = jnp.where(row < end, vk, v_out)
-    return u_out, v_out
+    vals = {}
+    if schema.KIND_SPHERE in kinds:
+        inv = jax.lax.rsqrt(jnp.maximum(_vdot(rel, rel), 1e-37))
+        u_sph = 0.5 + 0.5 * _atan2_rows(rel[0] * inv, -(rel[1] * inv)) / _PI
+        vals[schema.KIND_SPHERE] = (u_sph, 0.5 - 0.5 * (rel[2] * inv))
+    if schema.KIND_PLANE in kinds:
+        fx = (hp[0] + 0.5) - jnp.trunc(hp[0] + 0.5)
+        fy = (hp[1] + 0.5) - jnp.trunc(hp[1] + 0.5)
+        vals[schema.KIND_PLANE] = (jnp.where(fx < 0, 1.0 + fx, fx),
+                                   jnp.where(fy < 0, 1.0 + fy, fy))
+    zero = jnp.zeros_like(rel[0])
+    if schema.KIND_BOX in kinds:
+        pa = _v3(at, _C_NA)
+        q = tuple(rel[k] * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
+                  for k in range(3))
+        qx, qy, qz = q
+        faces = [  # (cond_axis, cond_target, u, v) in rt.rs test order
+            (qx, 1.0, (0.5 + 0.5 * qy) / 4.0 + 2.0 / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qx, -1.0, (0.5 - 0.5 * qy) / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qy, 1.0, (0.5 - 0.5 * qx) / 4.0 + 3.0 / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qy, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+             (0.5 - 0.5 * qz) / 3.0 + 1.0 / 3.0),
+            (qz, 1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+             (0.5 - 0.5 * qy) / 3.0),
+            (qz, -1.0, (0.5 + 0.5 * qx) / 4.0 + 1.0 / 4.0,
+             (0.5 + 0.5 * qy) / 3.0 + 2.0 / 3.0),
+        ]
+        u_box, v_box = zero, zero
+        for axis, target, uu, vv in reversed(faces):
+            c = jnp.abs(axis - target) < EPS
+            u_box = jnp.where(c, uu, u_box)
+            v_box = jnp.where(c, vv, v_box)
+        vals[schema.KIND_BOX] = (u_box, v_box)
+    # triangles: uv = 0 (reference todo!())
+    where2 = lambda c, a, b: (jnp.where(c, a[0], b[0]),
+                              jnp.where(c, a[1], b[1]))
+    return _kind_select(layout, row, vals, (zero, zero), where2)
 
 
 def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
@@ -1285,53 +1380,263 @@ def _winner_t_comp(layout, at, o, d, row, want_exit, g3=None, h3=None):
     the winner's Woop plane rows ``g3`` (3-tuple)/``h3`` (block),
     pre-fetched by the caller.
     """
-    segs, tri_start, n_tri = layout
+    kinds, has_tri = _kinds_present(layout)
     ip = _v3(at, _C_IP)
     na = _v3(at, _C_NA)
-    r_ = _att(at, _C_PR)
     op = _vadd(ip, _vmatvec(at, _vsub(o, ip)))
     dp = _vmatvec(at, d)
-    # sphere (rt.rs:299-330)
-    oc = _vsub(op, ip)
-    a = _vdot(dp, dp)
-    bq = 2.0 * _vdot(oc, dp)
-    c = _vdot(oc, oc) - r_ * r_
-    disc = bq * bq - 4.0 * a * c
-    sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
-    a2 = jnp.where(a == 0.0, 1.0, 2.0 * a)
-    t_sph = ((-bq + sq) / a2) if want_exit else ((-bq - sq) / a2)
-    # plane (rt.rs:333-358)
-    nn = _vdot(na, na)
-    inv = jax.lax.rsqrt(jnp.where(nn > 0.0, nn, 1.0))
-    nr = _vscale(na, inv)
-    ddp = -_vdot(nr, ip)
-    dn = _vdot(dp, nr)
-    t_pln = -(_vdot(op, nr) + ddp) / jnp.where(dn == 0.0, 1.0, dn)
-    # box slabs (rt.rs:401-412)
-    lo = hi = None
-    for k in range(3):
-        dpc, opc, ipc, szc = dp[k], op[k], ip[k], na[k]
-        mm = 1.0 / jnp.where(dpc == 0.0, 1.0, dpc)
-        mm = jnp.where(dpc == 0.0, 1.0 / EPS, mm)
-        nnb = (opc - ipc) * mm
-        kkb = 0.5 * szc * jnp.abs(mm)
-        loc, hic = -nnb - kkb, -nnb + kkb
-        lo = loc if lo is None else jnp.maximum(lo, loc)
-        hi = hic if hi is None else jnp.minimum(hi, hic)
-    t_box = hi if want_exit else lo
+    vals = {}
+    if schema.KIND_SPHERE in kinds:
+        # sphere (rt.rs:299-330)
+        r_ = _att(at, _C_PR)
+        oc = _vsub(op, ip)
+        a = _vdot(dp, dp)
+        bq = 2.0 * _vdot(oc, dp)
+        c = _vdot(oc, oc) - r_ * r_
+        disc = bq * bq - 4.0 * a * c
+        sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
+        a2 = jnp.where(a == 0.0, 1.0, 2.0 * a)
+        vals[schema.KIND_SPHERE] = (((-bq + sq) / a2) if want_exit
+                                    else ((-bq - sq) / a2))
+    if schema.KIND_PLANE in kinds:
+        # plane (rt.rs:333-358)
+        nn = _vdot(na, na)
+        inv = jax.lax.rsqrt(jnp.where(nn > 0.0, nn, 1.0))
+        nr = _vscale(na, inv)
+        ddp = -_vdot(nr, ip)
+        dn = _vdot(dp, nr)
+        vals[schema.KIND_PLANE] = -(_vdot(op, nr) + ddp) / jnp.where(
+            dn == 0.0, 1.0, dn)
+    if schema.KIND_BOX in kinds:
+        # box slabs (rt.rs:401-412)
+        lo = hi = None
+        for k in range(3):
+            dpc, opc, ipc, szc = dp[k], op[k], ip[k], na[k]
+            mm = 1.0 / jnp.where(dpc == 0.0, 1.0, dpc)
+            mm = jnp.where(dpc == 0.0, 1.0 / EPS, mm)
+            nnb = (opc - ipc) * mm
+            kkb = 0.5 * szc * jnp.abs(mm)
+            loc, hic = -nnb - kkb, -nnb + kkb
+            lo = loc if lo is None else jnp.maximum(lo, loc)
+            hi = hic if hi is None else jnp.minimum(hi, hic)
+        vals[schema.KIND_BOX] = hi if want_exit else lo
     # triangle: Woop plane form (pallas_tri._winner_t), entry == exit
-    if n_tri:
+    t_tri = None
+    if has_tri:
         oz = _vdot(o, g3) + h3
         dz = _vdot(d, g3)
         t_tri = -oz / jnp.where(dz == 0.0, 1.0, dz)
-    else:
-        t_tri = t_sph
-    t = t_tri
-    for kind, end in reversed([(k, s + cc) for k, s, cc in segs]):
-        tk = {schema.KIND_SPHERE: t_sph, schema.KIND_PLANE: t_pln,
-              schema.KIND_BOX: t_box}[kind]
-        t = jnp.where(row < end, tk, t)
-    return t
+    return _kind_select(layout, row, vals, t_tri, jnp.where)
+
+
+def _seg_masks(layout, row):
+    """Static-per-kind membership masks of the winner row (plus the
+    triangle-region mask), matching `_kind_select`'s chain semantics."""
+    segs, _tri_start, n_tri = layout
+    masks = {}
+    prev_end = None
+    for kind, s, c in segs:
+        end = s + c
+        m = row < end
+        if prev_end is not None:
+            m = m & (row >= prev_end)
+        masks[kind] = m
+        prev_end = end
+    m_tri = (row >= prev_end) if (n_tri and prev_end is not None) else None
+    if n_tri and prev_end is None:
+        m_tri = row >= 0  # pure-mesh scene: everything is the tri region
+    return masks, m_tri
+
+
+def _winner_t_bwd_math(layout, want_exit, at, o, d, row, ct, g3, h3):
+    """Hand-derived cotangents of the analytic winner-t (rt.rs:299-412 /
+    the Woop plane form), replacing the machine transpose of
+    `_winner_t_comp` in the backward megakernel. The winner t is a single
+    scalar per lane whose value is pinned to the sweep's saved t, so the
+    replay needs ONLY this gradient — the hand derivation drops the
+    primal-chain and select scaffolding the machine VJP rebuilds
+    (measured ~315 -> ~200 vector eqns per side on CornellBox).
+    Guard semantics mirror the machine VJP's (zero cotangent through
+    `where`-pinned denominators and the sqrt floor); values differ from it
+    only by float reassociation."""
+    kinds, has_tri = _kinds_present(layout)
+    ip = _v3(at, _C_IP)
+    na = _v3(at, _C_NA)
+    rel = _vsub(o, ip)
+    op = _vadd(ip, _vmatvec(at, rel))
+    dp = _vmatvec(at, d)
+    zero = jnp.zeros_like(ct)
+    z3 = (zero, zero, zero)
+    ct_op, ct_dp, ct_ip, ct_na = z3, z3, z3, z3
+    ct_r = zero
+    d_o, d_d = z3, z3
+    d_g3, d_h3 = None, None
+    masks, m_tri = _seg_masks(layout, row)
+
+    if schema.KIND_SPHERE in kinds:
+        ctm = jnp.where(masks[schema.KIND_SPHERE], ct, 0.0)
+        r_ = _att(at, _C_PR)
+        oc = _vsub(op, ip)
+        a = _vdot(dp, dp)
+        b = 2.0 * _vdot(oc, dp)
+        c_ = _vdot(oc, oc) - r_ * r_
+        disc = b * b - 4.0 * a * c_
+        sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
+        inv_a2 = 1.0 / jnp.where(a == 0.0, 1.0, 2.0 * a)
+        s_ = 1.0 if want_exit else -1.0
+        t_ad = (-b + s_ * sq) * inv_a2
+        g_disc = jnp.where(disc >= 1e-12, ctm * (s_ * inv_a2) * (0.5 / sq),
+                           0.0)
+        ct_b = -ctm * inv_a2 + g_disc * (2.0 * b)
+        ct_a = (jnp.where(a == 0.0, 0.0, -2.0 * ctm * t_ad * inv_a2)
+                + g_disc * (-4.0 * c_))
+        ct_c = g_disc * (-4.0 * a)
+        ct_dp = _vadd(ct_dp, _vadd(_vscale(dp, 2.0 * ct_a),
+                                   _vscale(oc, 2.0 * ct_b)))
+        ct_oc = _vadd(_vscale(dp, 2.0 * ct_b), _vscale(oc, 2.0 * ct_c))
+        ct_op = _vadd(ct_op, ct_oc)
+        ct_ip = _vsub(ct_ip, ct_oc)
+        ct_r = ct_r + ct_c * (-2.0 * r_)
+
+    if schema.KIND_PLANE in kinds:
+        ctm = jnp.where(masks[schema.KIND_PLANE], ct, 0.0)
+        nn = _vdot(na, na)
+        nn_ok = nn > 0.0
+        inv = jax.lax.rsqrt(jnp.where(nn_ok, nn, 1.0))
+        nr = _vscale(na, inv)
+        dn = _vdot(dp, nr)
+        dn_ok = dn != 0.0
+        inv_dn = 1.0 / jnp.where(dn_ok, dn, 1.0)
+        num = -(_vdot(op, nr) - _vdot(nr, ip))   # -(op.nr + ddp)
+        t_ad = num * inv_dn
+        ct_num = ctm * inv_dn
+        ct_dn = jnp.where(dn_ok, -ctm * t_ad * inv_dn, 0.0)
+        ct_op = _vadd(ct_op, _vscale(nr, -ct_num))
+        ct_ip = _vadd(ct_ip, _vscale(nr, ct_num))
+        ct_dp = _vadd(ct_dp, _vscale(nr, ct_dn))
+        ct_nr = _vadd(_vadd(_vscale(op, -ct_num), _vscale(ip, ct_num)),
+                      _vscale(dp, ct_dn))
+        ct_inv = _vdot(na, ct_nr)
+        ct_nn = jnp.where(nn_ok, ct_inv * (-0.5) * inv * inv * inv, 0.0)
+        ct_na = _vadd(ct_na, _vadd(_vscale(ct_nr, inv),
+                                   _vscale(na, 2.0 * ct_nn)))
+
+    if schema.KIND_BOX in kinds:
+        ctm = jnp.where(masks[schema.KIND_BOX], ct, 0.0)
+        sgn = 1.0 if want_exit else -1.0     # kkb sign in t = -nnb +/- kkb
+        ts, mms, nnbs, kkbs = [], [], [], []
+        for k in range(3):
+            dpc = dp[k]
+            z = dpc == 0.0
+            mm = jnp.where(z, 1.0 / EPS, 1.0 / jnp.where(z, 1.0, dpc))
+            nnb = (op[k] - ip[k]) * mm
+            kkb = 0.5 * na[k] * jnp.abs(mm)
+            ts.append(-nnb + sgn * kkb)
+            mms.append(mm)
+            nnbs.append(nnb)
+            kkbs.append(kkb)
+        t_box = (jnp.minimum(jnp.minimum(ts[0], ts[1]), ts[2]) if want_exit
+                 else jnp.maximum(jnp.maximum(ts[0], ts[1]), ts[2]))
+        taken = zero > 1.0                               # all-false
+        co, cip, cna, cdp = list(z3), list(z3), list(z3), list(z3)
+        for k in range(3):
+            ak = (ts[k] == t_box) & ~taken               # first active axis
+            taken = taken | ak
+            cak = jnp.where(ak, ctm, 0.0)
+            co[k] = cak * (-mms[k])
+            cip[k] = cak * mms[k]
+            cna[k] = cak * (sgn * 0.5 * jnp.abs(mms[k]))
+            # d t_axis / d dpc = -t_axis * mm (0 where the E-workaround
+            # pinned mm); follows from d mm/d dpc = -mm^2
+            cdp[k] = jnp.where(dp[k] == 0.0, 0.0, cak * (-ts[k] * mms[k]))
+        ct_op = _vadd(ct_op, tuple(co))
+        ct_ip = _vadd(ct_ip, tuple(cip))
+        ct_na = _vadd(ct_na, tuple(cna))
+        ct_dp = _vadd(ct_dp, tuple(cdp))
+
+    if has_tri:
+        ctm = jnp.where(m_tri, ct, 0.0)
+        oz = _vdot(o, g3) + h3
+        dz = _vdot(d, g3)
+        dz_ok = dz != 0.0
+        inv_dz = 1.0 / jnp.where(dz_ok, dz, 1.0)
+        t_ad = -oz * inv_dz
+        ct_oz = -ctm * inv_dz
+        ct_dz = jnp.where(dz_ok, -ctm * t_ad * inv_dz, 0.0)
+        d_g3 = _vadd(_vscale(o, ct_oz), _vscale(d, ct_dz))
+        d_h3 = ct_oz
+        d_o = _vadd(d_o, _vscale(g3, ct_oz))
+        d_d = _vadd(d_d, _vscale(g3, ct_dz))
+
+    # shared transposes of op = ip + M(o - ip), dp = M d
+    def mt(v):  # M^T v
+        return tuple(_att(at, 0 + j) * v[0] + _att(at, 3 + j) * v[1]
+                     + _att(at, 6 + j) * v[2] for j in range(3))
+
+    mt_op = mt(ct_op)
+    d_o = _vadd(d_o, mt_op)
+    d_d = _vadd(d_d, mt(ct_dp))
+    d_ip = _vadd(ct_ip, _vsub(ct_op, mt_op))
+    d_at = [ct_op[k] * rel[j] + ct_dp[k] * d[j]
+            for k in range(3) for j in range(3)]
+    d_at += [d_ip[0], d_ip[1], d_ip[2], ct_na[0], ct_na[1], ct_na[2], ct_r]
+    n_cols = (at.shape[0] // _SUBL if not isinstance(at, (tuple, list))
+              else len(at))
+    d_at += [zero] * (n_cols - len(d_at))
+    if isinstance(at, (tuple, list)):
+        d_at = tuple(d_at)
+    else:  # bundled (C*8, W) attribute array: match the input container
+        d_at = jnp.concatenate(d_at, axis=0)
+    return d_at, d_o, d_d, d_g3, d_h3
+
+
+_WT_FNS: dict = {}
+
+
+def _winner_t_pinned(layout, want_exit, at, o, d, row, t_sv, g3=None,
+                     h3=None):
+    """Winner t with the value pinned to the sweep's saved ``t_sv`` and the
+    analytic gradient attached via custom_vjp (:func:`_winner_t_bwd_math`).
+    The replay's primal pass costs ZERO ops (it returns ``t_sv``), replacing
+    the ``te_ad + stop_gradient(te_sv - te_ad)`` pattern whose machine
+    transpose rebuilt the whole explicit-formula chain per side."""
+    kinds, has_tri = _kinds_present(layout)
+    key = (layout, bool(want_exit))
+    fn = _WT_FNS.get(key)
+    if fn is None:
+        if has_tri:
+            @jax.custom_vjp
+            def fn(at, o, d, row, t_sv, g3, h3):
+                return t_sv
+
+            def fwd(at, o, d, row, t_sv, g3, h3):
+                return t_sv, (at, o, d, row, g3, h3)
+
+            def bwd(res, ct):
+                at, o, d, row, g3, h3 = res
+                d_at, d_o, d_d, d_g3, d_h3 = _winner_t_bwd_math(
+                    layout, want_exit, at, o, d, row, ct, g3, h3)
+                return (d_at, d_o, d_d, jnp.zeros_like(row),
+                        jnp.zeros_like(ct), d_g3, d_h3)
+        else:
+            @jax.custom_vjp
+            def fn(at, o, d, row, t_sv):
+                return t_sv
+
+            def fwd(at, o, d, row, t_sv):
+                return t_sv, (at, o, d, row)
+
+            def bwd(res, ct):
+                at, o, d, row = res
+                d_at, d_o, d_d, _, _ = _winner_t_bwd_math(
+                    layout, want_exit, at, o, d, row, ct, None, None)
+                return (d_at, d_o, d_d, jnp.zeros_like(row),
+                        jnp.zeros_like(ct))
+        fn.defvjp(fwd, bwd)
+        _WT_FNS[key] = fn
+    if has_tri:
+        return fn(at, o, d, row, t_sv, g3, h3)
+    return fn(at, o, d, row, t_sv)
 
 
 def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
@@ -1362,9 +1667,8 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
 
     atE = p["atE"]
     if analytic:
-        te_ad = _winner_t_comp(layout, atE, o, d, row, False,
-                               p.get("g3e"), p.get("h3e"))
-        te = te_ad + jax.lax.stop_gradient(te_sv - te_ad)
+        te = _winner_t_pinned(layout, False, atE, o, d, row, te_sv,
+                              p.get("g3e"), p.get("h3e"))
     else:
         te = te_sv
     te_f = jnp.where(live_i, te, 1.0)
@@ -1392,9 +1696,8 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     if need_exit:
         atX = p["atX"]
         if analytic:
-            tx_ad = _winner_t_comp(layout, atX, o, d, xrow, True,
-                                   p.get("g3x"), p.get("h3x"))
-            tx = tx_ad + jax.lax.stop_gradient(tx_sv - tx_ad)
+            tx = _winner_t_pinned(layout, True, atX, o, d, xrow, tx_sv,
+                                  p.get("g3x"), p.get("h3x"))
         else:
             tx = tx_sv
         tx_f = jnp.where(live_i, tx, 1.0)
@@ -1731,6 +2034,24 @@ def _comp8(x):
     return jnp.reshape(x, (_SUBL, RT // _SUBL))
 
 
+def _compL(x):
+    """Whole-trace-backward relayout: lane row (1, RT) -> (RT/128, 128).
+
+    Unlike :func:`_comp8`, the target lane dim is pinned to the native
+    128: Mosaic lowers that shape cast even for SLICED source rows at any
+    RT (measured: (1,2048)->(8,256) fails infer-vector-layout,
+    (1,2048)->(16,128) lowers), which is what lets the backward
+    megakernel tile at 8192 lanes like the forward. At RT=1024 this is
+    the original (8, 128) block."""
+    RT = x.shape[1]
+    w = min(RT, 128)  # tiny interpret-mode test batches
+    return jnp.reshape(x, (RT // w, w))
+
+
+def _compL_v3(x):
+    return tuple(_compL(x[c:c + 1, :]) for c in range(3))
+
+
 def _uncomp8(b):
     """Inverse of :func:`_comp8`: (8, WT) block -> (1, RT) lane row."""
     return jnp.reshape(b, (1, b.shape[0] * b.shape[1]))
@@ -1768,14 +2089,22 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
             dATg_o[...] = jnp.zeros_like(dATg_o)
             dHTg_o[...] = jnp.zeros_like(dHTg_o)
 
+    # cotangent-carry scratch geometry: 10 logical rows (cto 3, ctd 3,
+    # ctp 1, ctA 3) as (G, 128) component blocks, G = RT/128
+    RT_ = ctA_r.shape[1]
+    G = RT_ // min(RT_, 128)
+
+    def cblk(i):
+        return ct_s[G * i:G * (i + 1), :]
+
     @pl.when(k == 0)
     def _init_ct():
-        z = jnp.zeros((8, ct_s.shape[1]), jnp.float32)
+        z = jnp.zeros((G, ct_s.shape[1]), jnp.float32)
         for r in range(7):                       # cto(3) ctd(3) ctp(1)
-            ct_s[8 * r:8 * (r + 1), :] = z
-        ctA0 = _comp_v3(ctA_r[...])
+            ct_s[G * r:G * (r + 1), :] = z
+        ctA0 = _compL_v3(ctA_r[...])
         for c in range(3):
-            ct_s[56 + 8 * c:64 + 8 * c, :] = ctA0[c]
+            ct_s[G * (7 + c):G * (8 + c), :] = ctA0[c]
 
     res = res_r[0, :, :]                                   # (CR, RT)
     u_l = u8_r[0, :, :]                                    # (8, RT)
@@ -1789,11 +2118,11 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 
     # hoist the cotangent-carry reads so the dead-skip passthrough below
     # can rewrite ct_pwr without feeding the gated body its own output
-    cto = tuple(ct_s[8 * c:8 * (c + 1), :] for c in range(3))
-    ctd = tuple(ct_s[24 + 8 * c:32 + 8 * c, :] for c in range(3))
-    ctp = ct_s[48:56, :]
-    ctA = tuple(ct_s[56 + 8 * c:64 + 8 * c, :] for c in range(3))
-    ctB = _comp_v3(ctB_r[...])                             # constant carry
+    cto = tuple(cblk(c) for c in range(3))
+    ctd = tuple(cblk(3 + c) for c in range(3))
+    ctp = cblk(6)
+    ctA = tuple(cblk(7 + c) for c in range(3))
+    ctB = _compL_v3(ctB_r[...])                             # constant carry
 
     if skip:
         # whole-tile dead skip, mirroring the forward: the dead suffix of
@@ -1804,7 +2133,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         # ct_pwr *= dk with every accumulator contribution where-masked
         # to zero by live=0. Written as the cheap passthrough plus a
         # gated body, like the forward kernel.
-        ct_s[48:56, :] = ctp * dk_s[0, 0]
+        ct_s[G * 6:G * 7, :] = ctp * dk_s[0, 0]
 
         @pl.when(k == K - 1)
         def _dead_primary():
@@ -1827,11 +2156,15 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         def fetch_lane(tab, oh):
             return _onehot_dot(tab[...], oh, (((0,), (0,)), ((), ())))
 
+        if "nofetch" in os.environ.get("MRT_BWD_ABLATE", ""):
+            def fetch_lane(tab, oh):  # noqa: F811 — ablation stub
+                return jnp.zeros((tab.shape[1], RT), jnp.float32)
+
         ohE = (iota_rows == row_i).astype(jnp.float32)
         atE_l = fetch_lane(attr, ohE)                      # (24, RT)
-        p = {"o": _comp_v3(o_l), "d": _comp_v3(d_l),
-             "pwr": _comp8(res[6:7, :]), "A": _comp_v3(A_l),
-             "atE": tuple(_comp8(atE_l[c:c + 1, :]) for c in range(_NCOL))}
+        p = {"o": _compL_v3(o_l), "d": _compL_v3(d_l),
+             "pwr": _compL(res[6:7, :]), "A": _compL_v3(A_l),
+             "atE": tuple(_compL(atE_l[c:c + 1, :]) for c in range(_NCOL))}
         zeros8 = jnp.zeros_like(p["pwr"])
         # B enters only additively (B2 = B + A*b): its value shapes no
         # cotangent, so the replay runs it at zero instead of saving it
@@ -1843,7 +2176,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         if need_exit:
             ohX = (iota_rows == xrow_i).astype(jnp.float32)
             atX_l = fetch_lane(attr, ohX)
-            p["atX"] = tuple(_comp8(atX_l[c:c + 1, :])
+            p["atX"] = tuple(_compL(atX_l[c:c + 1, :])
                              for c in range(_NCOL))
         if n_tri:
             Pt = ATg.shape[0]
@@ -1852,60 +2185,65 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
                     ).astype(jnp.float32)
             g3e_l = fetch_lane(ATg, ohTe)                  # (3, RT)
             h3e_l = fetch_lane(HTg, ohTe)                  # (1, RT)
-            p["g3e"], p["h3e"] = _comp_v3(g3e_l), _comp8(h3e_l)
+            p["g3e"], p["h3e"] = _compL_v3(g3e_l), _compL(h3e_l)
             if need_exit:
                 ohTx = (iota_t == jnp.clip(xrow_i - tri_start, 0, Pt - 1)
                         ).astype(jnp.float32)
                 g3x_l = fetch_lane(ATg, ohTx)
                 h3x_l = fetch_lane(HTg, ohTx)
-                p["g3x"], p["h3x"] = _comp_v3(g3x_l), _comp8(h3x_l)
+                p["g3x"], p["h3x"] = _compL_v3(g3x_l), _compL(h3x_l)
 
-        u = [_comp8(u_l[j:j + 1, :]) for j in range(8)]
-        live = _comp8(res[7:8, :]) > 0.5
-        lok = [_comp8(res[_R_LOK + li:_R_LOK + li + 1, :]) > 0.5
+        u = [_compL(u_l[j:j + 1, :]) for j in range(8)]
+        live = _compL(res[7:8, :]) > 0.5
+        lok = [_compL(res[_R_LOK + li:_R_LOK + li + 1, :]) > 0.5
                for li in range(L)]
 
-        primal = partial(_step_comp, layout, need_exit, L,
-                         u=u, live=live, te_sv=_comp8(te_l),
-                         tx_sv=_comp8(tx_l), row=_comp8(row_l),
-                         xrow=_comp8(xrow_l), lok=lok)
-        _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
-        g = vjp((cto, ctd, ctp, ctA, ctB))[0]
+        ablate = os.environ.get("MRT_BWD_ABLATE", "")
+        if "novjp" in ablate:
+            # ablation: skip the replay transpose entirely — measures the
+            # fetch + scatter + pipeline floor of the kernel
+            g = {k: jax.tree_util.tree_map(jnp.zeros_like, v)
+                 for k, v in p.items()}
+        else:
+            primal = partial(_step_comp, layout, need_exit, L,
+                             u=u, live=live, te_sv=_compL(te_l),
+                             tx_sv=_compL(tx_l), row=_compL(row_l),
+                             xrow=_compL(xrow_l), lok=lok)
+            _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
+            g = vjp((cto, ctd, ctp, ctA, ctB))[0]
 
         for c in range(3):
-            ct_s[8 * c:8 * (c + 1), :] = g["o"][c]
-            ct_s[24 + 8 * c:32 + 8 * c, :] = g["d"][c]
-            ct_s[56 + 8 * c:64 + 8 * c, :] = g["A"][c]
-        ct_s[48:56, :] = g["pwr"]
+            ct_s[G * c:G * (c + 1), :] = g["o"][c]
+            ct_s[G * (3 + c):G * (4 + c), :] = g["d"][c]
+            ct_s[G * (7 + c):G * (8 + c), :] = g["A"][c]
+        ct_s[G * 6:G * 7, :] = g["pwr"]
 
-        # scatter cotangents: (C, RT) @ (RT, P) MXU dots against
-        # TRANSPOSED one-hots, accumulated into resident (C, P) output
-        # blocks across the whole grid (contracting over lanes with a
-        # (P, RT) one-hot lowers as unsupported 1-D multi_reductions; the
-        # transposed form is a plain matmul). The (RT, 1) index columns
-        # come from a Mosaic-native reshape.
-        def oh_t(idx_l, n):
-            col = jnp.reshape(idx_l, (RT, 1))
-            return (jax.lax.broadcasted_iota(jnp.int32, (RT, n), 1)
-                    == col).astype(jnp.float32)
-
-        def scat(ct_comps, oht):
+        # scatter cotangents: contract the (C, RT) cotangent rows against
+        # the SAME (P, RT) one-hots the fetch built (lane-dim contraction,
+        # dims ((1,),(1,))), accumulating into resident (C, P) output
+        # blocks across the grid. The earlier transposed-one-hot scheme
+        # (reshape idx to an (RT, 1) column, iota-compare an (RT, P)
+        # matrix) built O(RT/8) vector registers PER STEP just for the
+        # one-hot — at an 8192-lane tile that was ~2 ms/sample, dwarfing
+        # the replay itself.
+        def scat(ct_comps, oh):
             rows = jnp.concatenate([_uncomp8(c) for c in ct_comps], axis=0)
-            return _onehot_dot(rows, oht, (((1,), (0,)), ((), ())))
+            return _onehot_dot(rows, oh, (((1,), (1,)), ((), ())))
 
-        d_at = scat([g["atE"][c] for c in range(_NCOL)], oh_t(row_i, P_pad))
-        if need_exit:
-            d_at = d_at + scat([g["atX"][c] for c in range(_NCOL)],
-                               oh_t(xrow_i, P_pad))
+        if "noscat" in ablate:
+            d_at = jnp.zeros_like(dattr_o)
+        else:
+            d_at = scat([g["atE"][c] for c in range(_NCOL)], ohE)
+            if need_exit:
+                d_at = d_at + scat([g["atX"][c] for c in range(_NCOL)],
+                                   ohX)
         dattr_o[...] += d_at
         if n_tri:
-            ohTe_t = oh_t(jnp.clip(row_i - tri_start, 0, Pt - 1), Pt)
-            dg = scat(g["g3e"], ohTe_t)                     # (3, Pt)
-            dh = scat([g["h3e"]], ohTe_t)                   # (1, Pt)
+            dg = scat(g["g3e"], ohTe)                       # (3, Pt)
+            dh = scat([g["h3e"]], ohTe)                     # (1, Pt)
             if need_exit:
-                ohTx_t = oh_t(jnp.clip(xrow_i - tri_start, 0, Pt - 1), Pt)
-                dg = dg + scat(g["g3x"], ohTx_t)
-                dh = dh + scat([g["h3x"]], ohTx_t)
+                dg = dg + scat(g["g3x"], ohTx)
+                dh = dh + scat([g["h3x"]], ohTx)
             dATg_o[...] += dg
             dHTg_o[...] += dh
 
@@ -1936,8 +2274,12 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     MR = _misc_rows(L)
     CR = _res_rows(L)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
-    RT = _pick_tile(_TILE_BWD, Rp)
-    WT = RT // _SUBL
+    RT = _pick_tile(_TILE_TBWD, Rp)
+    # component blocks are (RT/128, 128): the misc accumulator and the
+    # ct scratch are sized by the native 128-lane width and the block
+    # sublane count G
+    WT = min(RT, 128)
+    G = RT // WT
     f32 = jnp.float32
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1980,7 +2322,7 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((80, WT), f32)],
+        scratch_shapes=[pltpu.VMEM((10 * G, WT), f32)],
         interpret=_interpret(),
     )(*args))
 
