@@ -55,7 +55,7 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
         "sky_color", "sky_pwr",
     ],
     meta_fields=["kind_counts", "n_lights", "has_maps", "any_refract",
-                 "map_slots"],
+                 "map_slots", "n_groups"],
 )
 @dataclass
 class SceneArrays:
@@ -110,6 +110,9 @@ class SceneArrays:
     # compile without their per-ray texture gather (most scenes use 1-2
     # of the 6 slots; each gather is a slow TPU DMA in the bounce loop)
     map_slots: tuple = (True,) * 6
+    # number of (object, instance) groups — static so the kernels can
+    # size the per-group attribute table (pallas_step group fetch)
+    n_groups: int = 0
 
     @property
     def n_prims(self) -> int:
@@ -375,7 +378,7 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
         light_color=j(np.asarray([l.color for l in lights], np.float32).reshape(L, 3)),
         sky_color=j(scene.sky.color), sky_pwr=j(scene.sky.pwr),
         kind_counts=tuple(kind_counts), n_lights=L,
-        has_maps=bool(textures),
+        has_maps=bool(textures), n_groups=group_counter,
         map_slots=tuple(
             bool(np.any(mat_maps_np[:, slot] >= 0)) for slot in range(6)),
         any_refract=any(

@@ -432,23 +432,28 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
 
         if tri_pack is None and scene.kind_counts[_schema.KIND_TRIANGLE]:
             tri_pack = intersect.triangle_pack(scene, frames)
-        consts, attr, lights, tex = pallas_step.pack_step(scene, frames,
-                                                          tri_pack)
+        consts, attr, gattr, lights, tex = pallas_step.pack_step(
+            scene, frames, tri_pack)
         pad = pallas_step.lane_pad(R)
         o_p, d_p = orig, dirs
         if pad:
             o_p = jnp.pad(orig, ((0, pad), (0, 0)))
             d_p = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
         Rp = R + pad
+        # opaque scenes pack only the consumed uniform rows
+        # [u0 u1 u2 u_emit] (pallas_step.n_uni) — same draws, half the
+        # stack/DMA/compaction-payload traffic
+        nu = pallas_step.n_uni(scene.any_refract)
         us = []
         for i in range(steps):
             u = rng.uniform(jax.random.fold_in(key_trace, i), (R, 7))
             ue = rng.uniform(jax.random.fold_in(key_shade, i), (R,))
-            u8 = jnp.concatenate([u.T, ue[None]], axis=0)
+            u_t = u.T if nu == 8 else u[:, :3].T
+            u8 = jnp.concatenate([u_t, ue[None]], axis=0)
             if pad:
                 u8 = jnp.pad(u8, ((0, 0), (0, pad)))
             us.append(u8)
-        u8s = jnp.stack(us)                                # (steps, 8, Rp)
+        u8s = jnp.stack(us)                               # (steps, nu, Rp)
 
         if (not resort
                 and pallas_step.trace_enabled(scene, Rp, inference=inference)):
@@ -467,22 +472,23 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                 # that), so each cut does exactly one small perm-building
                 # scatter and ONE fused payload gather: [carry(14) |
                 # rid(1, exact f32 ints) | remaining uniforms]
-                u_rem = u8s.reshape(steps * 8, Rp)
+                u_rem = u8s.reshape(steps * nu, Rp)
                 ridf = jnp.arange(Rp, dtype=jnp.float32)[None]
                 base = 0
                 c0 = flT = None
                 bounds = [0] + cuts + [steps]
                 for s0, s1 in zip(bounds[:-1], bounds[1:]):
-                    u_seg = u_rem[(s0 - base) * 8:(s1 - base) * 8]
+                    u_seg = u_rem[(s0 - base) * nu:(s1 - base) * nu]
                     A_T, B_T, fl_seg, cout = pallas_step.trace_segment(
                         scene, consts, attr, lights, decay, o_p.T, d_p.T,
-                        u_seg.reshape(s1 - s0, 8, Rp), tex=tex, c0=c0)
+                        u_seg.reshape(s1 - s0, nu, Rp), tex=tex, c0=c0,
+                        gattr=gattr)
                     if s0 == 0:
                         flT = fl_seg          # ray order: seg 1 unpermuted
                     if s1 < steps:
                         perm = _compact_perm(cout[7])
                         payload = jnp.concatenate(
-                            [cout, ridf, u_rem[(s1 - base) * 8:]], axis=0)
+                            [cout, ridf, u_rem[(s1 - base) * nu:]], axis=0)
                         payload = payload[:, perm]
                         cout = payload[:14]
                         ridf = payload[14:15]
@@ -496,7 +502,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
             else:
                 A_T, B_T, flT = pallas_step.trace_packed(
                     scene, consts, attr, lights, decay, o_p.T, d_p.T, u8s,
-                    tex=tex, inference=inference)
+                    tex=tex, inference=inference, gattr=gattr)
             A, B = A_T.T[:R], B_T.T[:R]
             first_live = flT[0, :R] > 0.5
             base = jnp.broadcast_to(scene.sky_color * scene.sky_pwr, (R, 3))
@@ -513,7 +519,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                 u8 = u8[:, ridT]
             rayT2, A2, B2 = pallas_step.step_packed(
                 scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
-                tex=tex)
+                tex=tex, gattr=gattr)
             firstT = jnp.where(i == 0, rayT2[3], firstT)
             if resort:
                 perm = _resort_perm(rayT2[0][0], rayT2[0][1], rayT2[0][2],

@@ -148,9 +148,12 @@ def _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d):
     return t0, t1, ok
 
 
+_NA_COL = 12  # attr table column of the object-space normal source rows
+
+
 def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                   AT, HT, thr, o, d, tx_s, tbb=None, live=None,
-                  occl=False):
+                  occl=False, want_na=False, at_ref=None):
     """In-kernel closest-hit sweep over every kind segment.
 
     ``o``/``d`` are (3, RT) lane-major rows; returns (te, row, wg, tx, xrow)
@@ -185,31 +188,49 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
     segs, tri_start, n_tri = layout
     RT = o.shape[1]
     shape = (1, RT)
+    assert not (want_na and occl)
+    # the winner group feeds the exit pass AND the group-keyed attribute
+    # fetch (pallas_step); skip the gid math only when neither wants it
+    track_g = need_exit or want_na
 
-    def entry_step(t0, t1, ok, rows, gidB, carry):
-        t_best, r_best, g_best = carry
+    def na_cols(s, e):
+        return tuple(at_ref[s:e, _NA_COL + k:_NA_COL + k + 1]
+                     for k in range(3))
+
+    def na_pick(mask, naB, na_best, upd):
+        """Winner-row normal select: exactly one row matches ``mask``."""
+        return tuple(
+            jnp.where(upd,
+                      jnp.min(jnp.where(mask, naB[k], _BIG), axis=0,
+                              keepdims=True), na_best[k])
+            for k in range(3))
+
+    def entry_step(t0, t1, ok, rows, gidB, naB, carry):
+        t_best, r_best, g_best, na_best = carry
         tm = jnp.where(ok, t0, _BIG)
         bm = jnp.min(tm, axis=0, keepdims=True)
         br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0, keepdims=True)
         upd = bm < t_best
-        if not need_exit:
-            # the winner group only feeds the exit pass — every
-            # need_exit=False caller discards it, so skip the gid math
-            return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
-                    g_best)
-        bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0, keepdims=True)
+        if track_g:
+            bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
+                         keepdims=True)
+            g_best = jnp.where(upd, bg, g_best)
+        if want_na:
+            na_best = na_pick(rows == br, naB, na_best, upd)
         return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
-                jnp.where(upd, bg, g_best))
+                g_best, na_best)
 
+    zero_na = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3))
     carry = (jnp.full(shape, _BIG, jnp.float32), jnp.zeros(shape, jnp.int32),
-             jnp.full(shape, _BIG, jnp.float32))
+             jnp.full(shape, _BIG, jnp.float32), zero_na)
     for kind, s, e_c in segs:
         e = s + e_c
         t0, t1, ok = _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d)
         rows = jax.lax.broadcasted_iota(jnp.int32, (e_c, RT), 0) + s
         if need_exit:
             tx_s[s:e, :] = jnp.where(ok, t1, -_BIG)
-        carry = entry_step(t0, t1, ok, rows, gid[s:e, :], carry)
+        carry = entry_step(t0, t1, ok, rows, gid[s:e, :],
+                           na_cols(s, e) if want_na else None, carry)
 
     if n_tri:
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (PRIM_BLOCK, RT), 0)
@@ -217,7 +238,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
         def tri_body(b, carry):
             t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b)
             rows = iota_t + (tri_start + b * PRIM_BLOCK)
-            t_best, r_best, g_best = carry
+            t_best, r_best, g_best, na_best = carry
             tm = jnp.where(ok, t, _BIG)
             if need_exit:
                 # triangle exit t == entry t; invalid rows must stash -BIG
@@ -228,14 +249,18 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
                          keepdims=True)
             upd = bm < t_best
-            if not need_exit:
-                return (jnp.where(upd, bm, t_best),
-                        jnp.where(upd, br, r_best), g_best)
-            gidB = gid[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK), :]
-            bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
-                         keepdims=True)
+            if track_g:
+                gidB = gid[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK), :]
+                bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
+                             keepdims=True)
+                g_best = jnp.where(upd, bg, g_best)
+            if want_na:
+                naB = tuple(
+                    at_ref[pl.ds(tri_start + b * PRIM_BLOCK, PRIM_BLOCK),
+                           _NA_COL + k:_NA_COL + k + 1] for k in range(3))
+                na_best = na_pick(rows == br, naB, na_best, upd)
             return (jnp.where(upd, bm, t_best), jnp.where(upd, br, r_best),
-                    jnp.where(upd, bg, g_best))
+                    g_best, na_best)
 
         n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
         n_cb = (n_tri + _CB - 1) // _CB
@@ -259,7 +284,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             iota_cb = jax.lax.broadcasted_iota(jnp.int32, (_CB, RT), 0)
 
             def cb_body(b, c):
-                t_best, r_best, g_best = c
+                t_best, r_best, g_best, na_best = c
                 if occl:
                     # hit/no-hit is all the caller reads: division-free,
                     # t-free any-hit block test, flag carried as -BIG
@@ -268,7 +293,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                     any_r = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
                                     keepdims=True)
                     return (jnp.where(any_r > 0.0, -_BIG, t_best),
-                            r_best, g_best)
+                            r_best, g_best, na_best)
                 t, ok = pallas_tri._tri_block(AT, HT, thr, o, d, b, tb=_CB)
                 rows = iota_cb + (tri_start + b * _CB)
                 tm = jnp.where(ok, t, _BIG)
@@ -276,15 +301,18 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                 br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
                              keepdims=True)
                 upd = bm < t_best
-                if not need_exit:
-                    return (jnp.where(upd, bm, t_best),
-                            jnp.where(upd, br, r_best), g_best)
-                gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
-                bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
-                             keepdims=True)
+                if track_g:
+                    gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
+                    bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
+                                 keepdims=True)
+                    g_best = jnp.where(upd, bg, g_best)
+                if want_na:
+                    naB = tuple(at_ref[pl.ds(tri_start + b * _CB, _CB),
+                                       _NA_COL + k:_NA_COL + k + 1]
+                                for k in range(3))
+                    na_best = na_pick(rows == br, naB, na_best, upd)
                 return (jnp.where(upd, bm, t_best),
-                        jnp.where(upd, br, r_best),
-                        jnp.where(upd, bg, g_best))
+                        jnp.where(upd, br, r_best), g_best, na_best)
 
             live_m = live if live is not None \
                 else jnp.ones(t_bound.shape, bool)
@@ -406,7 +434,8 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                 # reachable winner is ever skipped (occlusion: a lane
                 # stops demanding once occluded or out of blocks)
                 def loop_cond(st):
-                    j, (t_best, _, _) = st
+                    j, c = st
+                    t_best = c[0]
                     tfar_l = jnp.reshape(tfar_all, t_bound.shape)
                     if occl:
                         bound = jnp.max(jnp.where(
@@ -429,9 +458,11 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                                   pltpu.SMEM((_CAND_MAX + 1,), jnp.int32),
                                   pltpu.SMEM((_CAND_MAX + 1,), jnp.float32))
 
-    te, row, wg = carry
+    te, row, wg, na_e = carry
     row = jnp.where(row == _BIGI, 0, row)
     if not need_exit:
+        if want_na:
+            return te, row, wg, te, row, na_e, na_e
         return te, row, wg, te, row
 
     # pass 2: farthest stashed exit-t within the winning group. Stashed
@@ -439,9 +470,10 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
     # entry t (== exit t per triangle) masked the same way.
     tx_best = jnp.full(shape, -_BIG, jnp.float32)
     x_best = jnp.zeros(shape, jnp.int32)
+    na_x = zero_na
 
     def exit_step(s, e_c, carry):
-        tx_best, x_best = carry
+        tx_best, x_best, na_x = carry
         txm = tx_s[pl.ds(s, e_c), :] if not isinstance(s, int) \
             else tx_s[s:s + e_c, :]
         gidB = gid[pl.ds(s, e_c), :] if not isinstance(s, int) \
@@ -451,20 +483,30 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
         bm = jnp.max(me, axis=0, keepdims=True)
         br = jnp.min(jnp.where(me == bm, rows, _BIGI), axis=0, keepdims=True)
         upd = bm > tx_best
-        return jnp.where(upd, bm, tx_best), jnp.where(upd, br, x_best)
+        if want_na:
+            naB = tuple(at_ref[pl.ds(s, e_c) if not isinstance(s, int)
+                               else slice(s, s + e_c),
+                               _NA_COL + k:_NA_COL + k + 1]
+                        for k in range(3))
+            na_x = na_pick(rows == br, naB, na_x, upd)
+        return (jnp.where(upd, bm, tx_best), jnp.where(upd, br, x_best),
+                na_x)
 
     for kind, s, e_c in segs:
-        tx_best, x_best = exit_step(s, e_c, (tx_best, x_best))
+        tx_best, x_best, na_x = exit_step(s, e_c, (tx_best, x_best, na_x))
     if n_tri:
         n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
 
         def exit_tri(b, carry):
             return exit_step(tri_start + b * PRIM_BLOCK, PRIM_BLOCK, carry)
 
-        tx_best, x_best = jax.lax.fori_loop(0, n_blocks, exit_tri,
-                                            (tx_best, x_best))
+        tx_best, x_best, na_x = jax.lax.fori_loop(
+            0, n_blocks, exit_tri, (tx_best, x_best, na_x))
 
-    return te, row, wg, tx_best, jnp.where(x_best == _BIGI, 0, x_best)
+    xrow = jnp.where(x_best == _BIGI, 0, x_best)
+    if want_na:
+        return te, row, wg, tx_best, xrow, na_e, na_x
+    return te, row, wg, tx_best, xrow
 
 
 def _hit_kernel(layout, need_exit, has_tbb, *refs):

@@ -203,6 +203,41 @@ def _pack_tex(scene):
     return TEXT, meta
 
 
+def _gf_min() -> int:
+    """Attribute-row threshold for the group-keyed fetch: below it the
+    flat (P_pad, RT) one-hot is cheap enough; beyond it the one-hot
+    construction alone costs O(P_pad/8) vregs per fetch (over half of
+    Mesh.json's 17 ms/sample forward, measured). Read per call so tests
+    can force the group path on small interpret-mode scenes."""
+    return int(os.environ.get("MRT_GF_MIN", "512"))
+
+
+_GF_MAX_GROUPS = 128
+
+
+def _pack_gattr(scene, attr):
+    """Per-group attribute table for the group-keyed fetch.
+
+    Row ``g`` holds the attr row of group ``g``'s first primitive —
+    every attr column except the object-space normal source (col
+    ``_C_NA``:``_C_NA``+3, per-triangle) is constant across a group's
+    rows, so the kernels fetch shared columns by the winner GROUP (a
+    one-hot over a handful of rows) and take the normal from the sweep's
+    winner reduction instead. None when the flat fetch is cheaper or the
+    group table itself would be large (Instance-class scenes)."""
+    G = scene.n_groups
+    if attr.shape[0] < _gf_min() or not 0 < G <= _GF_MAX_GROUPS:
+        return None
+    first = jnp.argmax(scene.group_id[None, :]
+                       == jnp.arange(G, dtype=scene.group_id.dtype)[:, None],
+                       axis=1)
+    g = attr[first]
+    pad = (-G) % 8
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    return g
+
+
 def pack_step(scene, frames, tri_pack):
     """Sweep tables (pallas_hit3.pack_scene) + the packed attribute matrix
     + the light table + the split texture atlas (None for untextured
@@ -248,7 +283,7 @@ def pack_step(scene, frames, tri_pack):
             scene.light_pwr[:, None], scene.light_color], axis=1)  # (L, 11)
     else:
         lights = jnp.zeros((1, 11), jnp.float32)
-    return consts, attr, lights, tex
+    return consts, attr, _pack_gattr(scene, attr), lights, tex
 
 
 def _kinds_present(layout):
@@ -584,24 +619,62 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     replays, with the analytic winner-t reconstruction skipped. Textured
     scenes keep the lane-major tail (the texel fetch is MXU lane-major).
     """
-    (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
+    (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr,
      text_r, tmeta, lights) = tables
     RT = o.shape[1]
     P_pad = attr.shape[0]
+    C_at = attr.shape[1]
+    use_gf = gattr is not None
 
-    te, row, _, tx, xrow = pallas_hit3.sweep_closest(
+    sw = pallas_hit3.sweep_closest(
         layout, need_exit, fr, ipos, pa, pr, valid, gid, AT, HT, thr,
-        o, d, tx_s, tbb=tbb, live=live)
+        o, d, tx_s, tbb=tbb, live=live, want_na=use_gf,
+        at_ref=attr if use_gf else None)
+    te, row, wg, tx, xrow = sw[:5]
     hit = te < _BIG * 0.5
     live_i = live & hit
 
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
+    if "nofetch" in os.environ.get("MRT_STEP_ABLATE", ""):
+        def fetch(r):  # timing ablation: skip the one-hot attribute fetch
+            return jnp.zeros((C_at, RT), jnp.float32)
 
-    def fetch(r):
-        oh = (iota_rows == r).astype(jnp.float32)           # (P_pad, RT)
-        return _onehot_dot(attr[...], oh, (((0,), (0,)), ((), ())))
+        atE = fetch(row)
+    elif use_gf:
+        # group-keyed attribute fetch: every attr column except the
+        # object-space normal source (``na``, col 12:15) is constant
+        # across a group's rows — a mesh's hundreds of triangle rows
+        # share one material/instance. Fetch the shared columns from the
+        # tiny per-group table with a one-hot over the winner GROUP the
+        # sweep already reduced, and take ``na`` (the only per-row data)
+        # straight out of the sweep's winner reduction. The flat per-row
+        # one-hot alone cost O(P_pad/8) vregs per fetch — over half of
+        # Mesh.json's forward kernel time.
+        na_e, na_x = sw[5], sw[6]
+        G_pad = gattr.shape[0]
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (G_pad, RT), 0)
+        # miss lanes carry wg = +BIG: map to -1 so no group matches
+        # (zero attributes, like a flat fetch of an all-false one-hot)
+        wg_i = jnp.where(wg < _BIG * 0.5, wg, -1.0).astype(jnp.int32)
+        ohg = (iota_g == wg_i).astype(jnp.float32)
+        at_g = _onehot_dot(gattr[...], ohg, (((0,), (0,)), ((), ())))
 
-    atE = fetch(row)
+        def with_na(na3):
+            return jnp.concatenate(
+                [at_g[:_C_NA], jnp.concatenate(na3, axis=0),
+                 at_g[_C_NA + 3:]], axis=0)
+
+        atE = with_na(na_e)
+
+        def fetch(r):  # exit side: same group, exit-winner normal
+            return with_na(na_x)
+    else:
+        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
+
+        def fetch(r):
+            oh = (iota_rows == r).astype(jnp.float32)       # (P_pad, RT)
+            return _onehot_dot(attr[...], oh, (((0,), (0,)), ((), ())))
+
+        atE = fetch(row)
     te_f = jnp.where(live_i, te, 1.0)
     p_e = o + d * te_f
 
@@ -618,6 +691,9 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
 
     light_ok = []
     for li in range(L):
+        if "noshadow" in os.environ.get("MRT_STEP_ABLATE", ""):
+            light_ok.append(live_i)  # timing ablation: all lights visible
+            continue
         lvec = light_vec(li, p_e)
         ln = lvec * jax.lax.rsqrt(_dot3(lvec, lvec))
         sorig = p_e + ln * EPS
@@ -651,7 +727,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         if need_exit:
             pc["atX"] = cb(atX)
         ub = cb(u)
-        u_c = [_att(ub, j) for j in range(8)]
+        u_c = _u_logical(ub, _att, need_exit)
         live_c = cb1(live.astype(jnp.float32)) > 0.5
         lok_c = [cb1(lk.astype(jnp.float32)) > 0.5 for lk in light_ok]
         rowf = cb1(row.astype(jnp.float32))
@@ -684,8 +760,9 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
 
     # reflect from the entry hit (rt.rs:559-572)
     diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
-    rough_r = jnp.where(diel_e & (u[0:1] < 0.8), 1.0, rgh_e)
-    nr = _sphere_rand_rows(n_e, rough_r, u[1:2], u[2:3])
+    ul = _u_logical(u, lambda a, j: a[j:j + 1, :], need_exit)
+    rough_r = jnp.where(diel_e & (ul[0] < 0.8), 1.0, rgh_e)
+    nr = _sphere_rand_rows(n_e, rough_r, ul[1], ul[2])
     refl = _safe_norm_rows(d - nr * (2.0 * _dot3(d, nr)))
 
     if need_exit:
@@ -705,8 +782,8 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
                 maps, text, tmeta, atX, ux_uv, vx_uv,
                 alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
         diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
-        rough_f = jnp.where(diel_x & (u[3:4] < 0.8), 1.0, rgh_x)
-        nf = _sphere_rand_rows(n_x, rough_f, u[4:5], u[5:6])
+        rough_f = jnp.where(diel_x & (ul[3] < 0.8), 1.0, rgh_x)
+        nf = _sphere_rand_rows(n_x, rough_f, ul[4], ul[5])
         eta = 1.0 + 0.5 * gls_x
         cos = -_dot3(nf, d)
         kk = 1.0 - eta * eta * (1.0 - cos * cos)
@@ -714,7 +791,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
         refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
         refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
-        choose = (u[6:7] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+        choose = (ul[6] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
 
         next_dir = jnp.where(choose, refr, refl)
         from_p = jnp.where(choose, p_x, p_e)
@@ -745,7 +822,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         l_col = l_col + jnp.where(light_ok[li], contrib, 0.0)
 
     # fold update (rt.rs:966-992 composed forward)
-    b_emit = u[7:8] < emi_c
+    b_emit = ul[7] < emi_c
     a_f = jnp.where(b_emit, 0.0, pwr * (0.5 + alb_c))
     b_f = jnp.where(b_emit, alb_c, pwr * l_col)
     a_f = jnp.where(live_i, a_f, 1.0)
@@ -757,12 +834,15 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
             A * a_f, B + A * b_f, resid, live_i.astype(jnp.float32))
 
 
-def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
+def _step_kernel(layout, need_exit, L, train, maps, has_tbb, has_gattr,
                  fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest_in):
     tbb = None
     if has_tbb:
         tbb, rest_in = rest_in[0], rest_in[1:]
     attr, rest_in = rest_in[0], rest_in[1:]
+    gattr = None
+    if has_gattr:
+        gattr, rest_in = rest_in[0], rest_in[1:]
     text_r = tmeta = None
     if maps:
         (text_r, tmeta), rest_in = rest_in[:2], rest_in[2:]
@@ -808,7 +888,7 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
     A = A_r[...]
     B = B_r[...]
     u = u_r[...]
-    tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
+    tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr,
               text_r, tmeta, lights)
 
     @body_gate
@@ -834,7 +914,7 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb,
 
 def _call_step(layout, need_exit, L, consts, attr, lights, decay,
                oT, dT, pwrT, liveT, AT_r, BT_r, u8, train=False,
-               tex=None, maps=None):
+               tex=None, maps=None, gattr=None):
     """One kernel invocation on LANE-MAJOR inputs (o/d/A/B as (3, Rp),
     pwr/live as (1, Rp), Rp a multiple of the ray tile). Padding and
     orientation live with the caller so the bounce scan carries dense
@@ -860,7 +940,8 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
     RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
-    r8 = pl.BlockSpec((8, RT), lambda i: (0, i))
+    NU = n_uni(need_exit)
+    r8 = pl.BlockSpec((NU, RT), lambda i: (0, i))
     f32 = jnp.float32
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
@@ -879,11 +960,14 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
             out_shapes.append(jax.ShapeDtypeStruct((L, Rp), f32))
             out_specs.append(pl.BlockSpec((L, RT), lambda i: (0, i)))
     kern = partial(_step_kernel, layout, need_exit, L, train, maps,
-                   tbb is not None)
+                   tbb is not None, gattr is not None)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
         tbb_specs, tbb_args = \
             [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
+    at2_specs, at2_args = [], []
+    if gattr is not None:
+        at2_specs, at2_args = [cspec(gattr)], [gattr]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex
@@ -894,14 +978,14 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         grid=(Rp // RT,),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
                   cspec(gid), cspec(AT), cspec(HT), cspec(thr)]
-                 + tbb_specs + [cspec(attr)] + tex_specs
+                 + tbb_specs + [cspec(attr)] + at2_specs + tex_specs
                  + [smem, smem, r3, r3, r1, r1, r3, r3, r8],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
-    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *tex_args,
-      lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8)
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *at2_args,
+      *tex_args, lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8)
     if not train:
         return outs
     return outs[:6], outs[6:]
@@ -934,12 +1018,13 @@ def _res_rows(L):
     return n + ((-n) % 8)
 
 
-def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
-                  has_c0, want_cout,
+def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, has_gattr,
+                  skip, has_c0, want_cout,
                   fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest):
     rest = list(rest)
     tbb = rest.pop(0) if has_tbb else None
     attr = rest.pop(0)
+    gattr = rest.pop(0) if has_gattr else None
     text_r = tmeta = None
     if maps:
         text_r, tmeta = rest.pop(0), rest.pop(0)
@@ -985,7 +1070,7 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
     B = carry_s[11:14, :]
     live = live_f > 0.5
     u = u8_r[0, :, :]
-    tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr,
+    tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr,
               text_r, tmeta, lights)
 
     if skip:
@@ -1043,7 +1128,7 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, skip,
 
 def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
                 o0T, d0T, u8s, train=False, tex=None, maps=None,
-                c0=None, want_cout=False):
+                c0=None, want_cout=False, gattr=None):
     """Whole-trace kernel invocation on lane-major primaries (3, Rp) and
     uniforms (K, 8, Rp). Returns (A (3,Rp), B (3,Rp), first_live (1,Rp)
     [, carry (14,Rp) when ``want_cout``][, residuals (K, CR, Rp)]).
@@ -1071,7 +1156,8 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
     RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1])
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
-    u8spec = pl.BlockSpec((1, 8, RT), lambda i, k: (k, 0, i))
+    NU = n_uni(need_exit)
+    u8spec = pl.BlockSpec((1, NU, RT), lambda i, k: (k, 0, i))
     f32 = jnp.float32
     CR = _res_rows(L)
     r14 = pl.BlockSpec((14, RT), lambda i, k: (0, i))
@@ -1087,11 +1173,15 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         out_specs.append(pl.BlockSpec((1, CR, RT), lambda i, k: (k, 0, i)))
     skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
     kern = partial(_trace_kernel, layout, need_exit, L, K, train, maps,
-                   tbb is not None, skip, c0 is not None, want_cout)
+                   tbb is not None, gattr is not None, skip, c0 is not None,
+                   want_cout)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
         tbb_specs, tbb_args = \
             [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
+    at2_specs, at2_args = [], []
+    if gattr is not None:
+        at2_specs, at2_args = [cspec(gattr)], [gattr]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex
@@ -1106,15 +1196,15 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         grid=(Rp // RT, K),
         in_specs=[cspec(fr), cspec(ipos), cspec(pa), cspec(pr), cspec(valid),
                   cspec(gid), cspec(AT), cspec(HT), cspec(thr)]
-                 + tbb_specs + [cspec(attr)] + tex_specs
+                 + tbb_specs + [cspec(attr)] + at2_specs + tex_specs
                  + [smem, smem] + ray_specs + [u8spec],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((14, RT), jnp.float32),
                         pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
-    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *tex_args,
-      lights, dk, *ray_args, u8s)
+    )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *at2_args,
+      *tex_args, lights, dk, *ray_args, u8s)
     return outs
 
 
@@ -1142,6 +1232,26 @@ def _att(at, c):
     if isinstance(at, (tuple, list)):
         return at[c]
     return at[c * _SUBL:(c + 1) * _SUBL, :]
+
+
+def n_uni(need_exit) -> int:
+    """Uniform rows per bounce step the kernels consume. Opaque scenes
+    (need_exit=False) never read the exit-side draws u3..u6 — the
+    dielectric re-roll, exit sphere sample and refract choice exist only
+    in the refraction branch (rt.rs:574-589, 1054-1058) — so only
+    [u0, u1, u2, u_emit] are packed: half the uniform stack, its HBM
+    window DMA, and the compaction payload gathers. The DRAWS are
+    unchanged ((R, 7) + emit, same streams); only the packing is."""
+    return 8 if need_exit else 4
+
+
+def _u_logical(u_arr, take, need_exit):
+    """Logical 8-slot uniform list from the packed rows (see n_uni)."""
+    if need_exit:
+        return [take(u_arr, j) for j in range(8)]
+    z = take(u_arr, 0) * 0.0                 # DCE'd: never read
+    return [take(u_arr, 0), take(u_arr, 1), take(u_arr, 2), z, z, z, z,
+            take(u_arr, 3)]
 
 
 def _v3(at, c):
@@ -1814,7 +1924,7 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
         return _v3(x, 0)
 
     u8b = u_r[...]                                          # (64, W)
-    u = [_att(u8b, j) for j in range(8)]
+    u = _u_logical(u8b, _att, need_exit)
     te_sv = te_r[...]
     live = live_r[...] > 0.5
     ones = jnp.ones_like(te_sv)
@@ -1943,7 +2053,7 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
         return jax.ShapeDtypeStruct((c * _SUBL, W), f32)
 
     in_specs = [smem, smem,
-                b(3), b(3), b(1), b(1), b(3), b(3), b(8),
+                b(3), b(3), b(1), b(1), b(3), b(3), b(n_uni(need_exit)),
                 b(1), b(1), b(1), b(1)]
     args = [lights, dk_s] + [comp(x) for x in (
         oT, dT, pwrT, liveT, AT_r, BT_r, u8, te, tx, row, xrow)]
@@ -2193,7 +2303,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
                 h3x_l = fetch_lane(HTg, ohTx)
                 p["g3x"], p["h3x"] = _compL_v3(g3x_l), _compL(h3x_l)
 
-        u = [_compL(u_l[j:j + 1, :]) for j in range(8)]
+        u = _u_logical(u_l, lambda a, j: _compL(a[j:j + 1, :]), need_exit)
         live = _compL(res[7:8, :]) > 0.5
         lok = [_compL(res[_R_LOK + li:_R_LOK + li + 1, :]) > 0.5
                for li in range(L)]
@@ -2289,7 +2399,8 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     resspec = pl.BlockSpec((1, CR, RT), lambda i, k: (K - 1 - k, 0, i))
-    u8spec = pl.BlockSpec((1, 8, RT), lambda i, k: (K - 1 - k, 0, i))
+    NU = n_uni(need_exit)
+    u8spec = pl.BlockSpec((1, NU, RT), lambda i, k: (K - 1 - k, 0, i))
     acc = lambda shape: pl.BlockSpec(shape, lambda i, k: (0, 0))
 
     in_specs = [cspec(attr)]
@@ -2347,25 +2458,37 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 _TRACE_FNS: dict = {}
 
 
-def _get_trace_fn(layout, need_exit, L, K):
-    """Custom-vjp whole-trace: (consts, attr, lights, dk, oT, dT, u8s) ->
-    (A (3,Rp), B (3,Rp), first_live (1,Rp))."""
-    key = (layout, need_exit, L, K)
+def _get_trace_fn(layout, need_exit, L, K, has_gattr):
+    """Custom-vjp whole-trace: (consts, attr, gattr?, lights, dk, oT, dT,
+    u8s) -> (A (3,Rp), B (3,Rp), first_live (1,Rp)). ``gattr`` is derived
+    from ``attr`` outside (a gather), used by the FORWARD kernels only; it
+    gets a zero cotangent because the backward kernel's analytic d_attr is
+    already the complete gradient w.r.t. the table (the gather's own
+    transpose would double-count)."""
+    key = (layout, need_exit, L, K, has_gattr)
     if key in _TRACE_FNS:
         return _TRACE_FNS[key]
 
-    @jax.custom_vjp
-    def fn(consts, attr, lights, dk, oT, dT, u8s):
-        return _call_trace(layout, need_exit, L, K, consts, attr, lights,
-                           dk, oT, dT, u8s)
+    def split(args):
+        if has_gattr:
+            return args[0], args[1], args[2], args[3:]
+        return args[0], args[1], None, args[2:]
 
-    def fn_fwd(consts, attr, lights, dk, oT, dT, u8s):
+    @jax.custom_vjp
+    def fn(*args):
+        consts, attr, gattr, (lights, dk, oT, dT, u8s) = split(args)
+        return _call_trace(layout, need_exit, L, K, consts, attr, lights,
+                           dk, oT, dT, u8s, gattr=gattr)
+
+    def fn_fwd(*args):
+        consts, attr, gattr, (lights, dk, oT, dT, u8s) = split(args)
         A, B, fl, res = _call_trace(layout, need_exit, L, K, consts, attr,
-                                    lights, dk, oT, dT, u8s, train=True)
-        return (A, B, fl), (consts, attr, lights, dk, res, u8s)
+                                    lights, dk, oT, dT, u8s, train=True,
+                                    gattr=gattr)
+        return (A, B, fl), (consts, attr, gattr, lights, dk, res, u8s)
 
     def fn_bwd(resid, cts):
-        consts, attr, lights, dk, res, u8s = resid
+        consts, attr, gattr, lights, dk, res, u8s = resid
         ctA, ctB, _ctfl = cts
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_AT,
          d_HT) = _call_trace_bwd(layout, need_exit, L, K, consts, attr,
@@ -2376,8 +2499,10 @@ def _get_trace_fn(layout, need_exit, L, K):
                     d_AT, d_HT, jnp.zeros_like(consts[8]),
                     None if consts[9] is None
                     else jnp.zeros_like(consts[9]))
-        return (d_consts, d_attr, d_lights, d_dk, d_oT, d_dT,
-                jnp.zeros_like(u8s))
+        out = (d_consts, d_attr)
+        if has_gattr:
+            out = out + (jnp.zeros_like(gattr),)
+        return out + (d_lights, d_dk, d_oT, d_dT, jnp.zeros_like(u8s))
 
     fn.defvjp(fn_fwd, fn_bwd)
     _TRACE_FNS[key] = fn
@@ -2407,7 +2532,7 @@ def trace_enabled(scene, Rp, inference=False) -> bool:
 
 
 def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
-                 tex=None, inference=False):
+                 tex=None, inference=False, gattr=None):
     """Whole-trace entry point on lane-major primaries; the scan-free
     replacement for bounce+1 :func:`step_packed` calls. Returns
     (A (3,Rp), B (3,Rp), first_live (1,Rp) f32)."""
@@ -2418,14 +2543,16 @@ def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
         return _call_trace(layout, scene.any_refract, scene.n_lights, K,
                            consts, attr, lights,
                            jnp.asarray(decay, jnp.float32), oT, dT, u8s,
-                           tex=tex, maps=maps)
-    fn = _get_trace_fn(layout, scene.any_refract, scene.n_lights, K)
-    return fn(consts, attr, lights, jnp.asarray(decay, jnp.float32),
+                           tex=tex, maps=maps, gattr=gattr)
+    fn = _get_trace_fn(layout, scene.any_refract, scene.n_lights, K,
+                       gattr is not None)
+    gf = (gattr,) if gattr is not None else ()
+    return fn(consts, attr, *gf, lights, jnp.asarray(decay, jnp.float32),
               oT, dT, u8s)
 
 
 def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
-                  tex=None, c0=None):
+                  tex=None, c0=None, gattr=None):
     """One segment of a whole-trace render (INFERENCE only, no VJP).
 
     Like :func:`trace_packed` but resumable: with ``c0`` (the (14, Rp)
@@ -2441,7 +2568,7 @@ def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
     return _call_trace(layout, scene.any_refract, scene.n_lights, K,
                        consts, attr, lights, jnp.asarray(decay, jnp.float32),
                        oT, dT, u8s, tex=tex, maps=maps, c0=c0,
-                       want_cout=True)
+                       want_cout=True, gattr=gattr)
 
 
 # --- differentiable wrapper -------------------------------------------------
@@ -2449,34 +2576,42 @@ def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
 _STEP_FNS: dict = {}
 
 
-def _get_step_fn(layout, need_exit, L):
+def _get_step_fn(layout, need_exit, L, has_gattr=False):
     """Custom-vjp bounce step on LANE-MAJOR carries (o/d/A/B (3,Rp),
     pwr/live (1,Rp), u8 (8,Rp); Rp a multiple of `_TILE_PAD`). The scan in
     `tracer.trace_fused` carries exactly these rows, so neither direction
     pays per-step transposes."""
-    key = (layout, need_exit, L)
+    key = (layout, need_exit, L, has_gattr)
     if key in _STEP_FNS:
         return _STEP_FNS[key]
 
-    @jax.custom_vjp
-    def fn(consts, attr, lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8):
-        return _call_step(layout, need_exit, L, consts, attr, lights, dk,
-                          oT, dT, pwrT, liveT, AT_r, BT_r, u8)
+    def split(args):
+        if has_gattr:
+            return args[0], args[1], args[2], args[3:]
+        return args[0], args[1], None, args[2:]
 
-    def fn_fwd(consts, attr, lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
-               u8):
+    @jax.custom_vjp
+    def fn(*args):
+        consts, attr, gattr, (lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
+                              u8) = split(args)
+        return _call_step(layout, need_exit, L, consts, attr, lights, dk,
+                          oT, dT, pwrT, liveT, AT_r, BT_r, u8, gattr=gattr)
+
+    def fn_fwd(*args):
+        consts, attr, gattr, (lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
+                              u8) = split(args)
         out, resid = _call_step(layout, need_exit, L, consts, attr, lights,
                                 dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8,
-                                train=True)
+                                train=True, gattr=gattr)
         te, tx, row, xrow = resid[:4]
         lok = resid[4] if L else te  # placeholder when L == 0
         res_lane = (oT, dT, pwrT, liveT, AT_r, BT_r, u8,
                     te, tx, row, xrow, lok)
-        res = (attr, lights, dk, res_lane, consts)
+        res = (attr, gattr, lights, dk, res_lane, consts)
         return out, res
 
     def fn_bwd(res, cts):
-        attr, lights, dk, res_lane, consts = res
+        attr, gattr, lights, dk, res_lane, consts = res
         AT, HT = consts[6], consts[7]
         ct = (cts[0], cts[1], cts[2], cts[4], cts[5])  # live2 ct dropped
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_pwrT, d_AT_r, d_BT_r,
@@ -2489,9 +2624,13 @@ def _get_step_fn(layout, need_exit, L):
                     None if consts[9] is None
                     else jnp.zeros_like(consts[9]))
         live_ct = jnp.zeros_like(d_pwrT)
-        u8_ct = jnp.zeros((8, d_pwrT.shape[1]), d_pwrT.dtype)
-        return (d_consts, d_attr, d_lights, d_dk,
-                d_oT, d_dT, d_pwrT, live_ct, d_AT_r, d_BT_r, u8_ct)
+        u8_ct = jnp.zeros((n_uni(need_exit), d_pwrT.shape[1]),
+                          d_pwrT.dtype)
+        out = (d_consts, d_attr)
+        if has_gattr:
+            out = out + (jnp.zeros_like(gattr),)
+        return out + (d_lights, d_dk,
+                      d_oT, d_dT, d_pwrT, live_ct, d_AT_r, d_BT_r, u8_ct)
 
     fn.defvjp(fn_fwd, fn_bwd)
     _STEP_FNS[key] = fn
@@ -2499,7 +2638,7 @@ def _get_step_fn(layout, need_exit, L):
 
 
 def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
-                tex=None):
+                tex=None, gattr=None):
     """Lane-major bounce step from pre-packed tables (the scan hot path).
 
     ``rayT`` = (oT (3,Rp), dT (3,Rp), pwrT (1,Rp), liveT (1,Rp) f32);
@@ -2513,11 +2652,14 @@ def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
         o2, d2, pwr2, live2, A2, B2 = _call_step(
             layout, scene.any_refract, scene.n_lights, consts, attr,
             lights, jnp.asarray(decay, jnp.float32),
-            oT, dT, pwrT, liveT, A_T, B_T, u8, tex=tex, maps=maps)
+            oT, dT, pwrT, liveT, A_T, B_T, u8, tex=tex, maps=maps,
+            gattr=gattr)
     else:
-        fn = _get_step_fn(layout, scene.any_refract, scene.n_lights)
+        fn = _get_step_fn(layout, scene.any_refract, scene.n_lights,
+                          gattr is not None)
+        gf = (gattr,) if gattr is not None else ()
         o2, d2, pwr2, live2, A2, B2 = fn(
-            consts, attr, lights, jnp.asarray(decay, jnp.float32),
+            consts, attr, *gf, lights, jnp.asarray(decay, jnp.float32),
             oT, dT, pwrT, liveT, A_T, B_T, u8)
     return (o2, d2, pwr2, live2), A2, B2
 
@@ -2546,8 +2688,11 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         from . import intersect
 
         tri_pack_ = intersect.triangle_pack(scene, frames)
-    consts, attr, lights, tex = pack_step(scene, frames, tri_pack_)
-    u8 = jnp.concatenate([u.T, u_emit[None]], axis=0)
+    consts, attr, gattr, lights, tex = pack_step(scene, frames, tri_pack_)
+    if scene.any_refract:
+        u8 = jnp.concatenate([u.T, u_emit[None]], axis=0)
+    else:  # packed rows [u0 u1 u2 u_emit] (see n_uni)
+        u8 = jnp.concatenate([u[:, :3].T, u_emit[None]], axis=0)
     R = o.shape[0]
     pad = lane_pad(R)
     if pad:
@@ -2560,7 +2705,7 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         u8 = jnp.pad(u8, ((0, 0), (0, pad)))
     rayT = (o.T, d.T, pwr[None], live.astype(jnp.float32)[None])
     rayT2, A2, B2 = step_packed(scene, consts, attr, lights, decay,
-                                rayT, A.T, B.T, u8, tex=tex)
+                                rayT, A.T, B.T, u8, tex=tex, gattr=gattr)
     o2, d2, pwr2, live2 = rayT2
     return ((o2.T[:R], d2.T[:R], pwr2[0, :R], live2[0, :R] > 0.5),
             A2.T[:R], B2.T[:R], live2[0, :R] > 0.5)

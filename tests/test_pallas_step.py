@@ -253,3 +253,67 @@ def test_compaction_forced_on_spheres_bitwise_identical(monkeypatch):
     comp = run()
     assert np.asarray(base).max() > 0
     np.testing.assert_array_equal(comp, base)
+
+
+@pytest.mark.parametrize("which", ["opaque", "glass", "textured"])
+def test_group_fetch_matches_flat(which, monkeypatch):
+    """The group-keyed attribute fetch (large-P_pad scenes: shared columns
+    from the per-group table via the winner group, normals carried out of
+    the sweep reduction) must reproduce the flat per-row one-hot fetch.
+    The fetched values differ only in the na columns' precision (the
+    sweep-carried normal is exact f32; the flat fetch reconstructs it
+    from the 2-pass bf16 split), so the gate is tight allclose."""
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_GF_MIN", "8")   # force group fetch on tiny scenes
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()[which]))
+    frames = intersect.build_frames(scene)
+    ray, A, B, u, u_emit = state(scene)
+    decay = jnp.float32(0.85)
+    ray2, A2, B2, live2 = pallas_step.step(scene, frames, decay, ray, A, B,
+                                           u, u_emit)
+    monkeypatch.setenv("MRT_GF_MIN", "99999")  # flat fetch
+    ray1, A1, B1, live1 = pallas_step.step(scene, frames, decay, ray, A, B,
+                                           u, u_emit)
+    np.testing.assert_array_equal(np.asarray(live2), np.asarray(live1))
+    np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(B2), np.asarray(B1), rtol=1e-5,
+                               atol=1e-6)
+    lv = np.asarray(live1)[:, None]
+    np.testing.assert_allclose(np.asarray(ray2[1]) * lv,
+                               np.asarray(ray1[1]) * lv, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_group_fetch_full_trace_and_grads(monkeypatch):
+    """Group fetch through the whole-trace path: radiance and gradients
+    match the flat-fetch path on a mesh scene."""
+    import dataclasses
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    monkeypatch.setenv("MRT_STEP", "1")
+
+    def run():
+        def loss(albedo):
+            s = dataclasses.replace(scene, mat_albedo=albedo)
+            rad = trace_radiance(s, cam, (64, 64), 4, jnp.float32(0.15),
+                                 coords, key)
+            return jnp.mean(rad ** 2)
+
+        g = jax.grad(loss)(scene.mat_albedo)
+        rad = trace_radiance(scene, cam, (64, 64), 4, jnp.float32(0.15),
+                             coords, key, inference=True)
+        return np.asarray(rad), np.asarray(g)
+
+    monkeypatch.setenv("MRT_GF_MIN", "99999")
+    rad1, g1 = run()
+    monkeypatch.setenv("MRT_GF_MIN", "8")
+    rad2, g2 = run()
+    assert rad1.max() > 0 and np.abs(g1).sum() > 0
+    np.testing.assert_allclose(rad2, rad1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g2, g1, rtol=1e-3, atol=1e-6)
