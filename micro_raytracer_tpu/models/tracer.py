@@ -422,7 +422,14 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
 
     from ..ops import pallas_step
 
-    if pallas_step.enabled_for(scene, inference=inference):
+    use_kernel = pallas_step.enabled_for(scene, inference=inference)
+    if use_kernel and scene.has_maps and not inference:
+        # textured TRAINING runs only through the whole-trace kernel (the
+        # per-step scan's texel fetch has no VJP); misaligned widths /
+        # wide tables fall back to the jnp path below
+        use_kernel = (not resort) and pallas_step.trace_enabled(
+            scene, R + pallas_step.lane_pad(R), inference=False)
+    if use_kernel:
         # Megakernel path: the scan carries LANE-MAJOR rows (transpose/pad
         # once outside), the scene tables are packed once, and all bounce
         # uniforms are drawn up front as scan inputs — the per-step device

@@ -153,12 +153,21 @@ def enabled_for(scene, inference: bool = False) -> bool:
     if not ok:
         return False
     if scene.has_maps:
-        # textured scenes run the kernel for INFERENCE only (the backward
-        # megakernel carries no texel terms; training falls back to the
-        # jnp+hit3 path) and only while the split atlas fits VMEM
+        # textured scenes run the kernel while the split atlas fits VMEM.
+        # Training included: texture VALUES are not trainable leaves
+        # (shard.TRAINABLE_FIELDS) and the nearest-texel fetch
+        # (rt.rs:618-628) is piecewise-constant in every differentiable
+        # input (floor index), so the backward replay re-runs the fetch
+        # as a constant and the remaining map terms (albedo multiply,
+        # scalar-map replacement) transpose exactly like the jnp path's.
         n_blocks = -(-scene.tex_data.shape[0] // 128)
-        return (inference and n_blocks <= _MAX_TEX_BLOCKS
-                and scene.tex_offset.shape[0] <= _MAX_TEXTURES)
+        if not (n_blocks <= _MAX_TEX_BLOCKS
+                and scene.tex_offset.shape[0] <= _MAX_TEXTURES):
+            return False
+        if inference or os.environ.get("MRT_STEP", "") == "1":
+            return True
+        return (os.environ.get("MRT_STEP_GRAD", "1") == "1"
+                and _padded_rows(scene.kind_counts) <= _MAX_GRAD_ROWS)
     if inference or os.environ.get("MRT_STEP", "") == "1":
         return True
     # training default-on: the component-form backward megakernel matches
@@ -478,9 +487,11 @@ def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
     off, w, h = zero_i, zero_i + 1, zero_i + 1
     for k in range(T):  # texture shapes: a handful of SMEM scalars
         sel = t == k
-        off = jnp.where(sel, meta[k, 0], off)
-        w = jnp.where(sel, meta[k, 1], w)
-        h = jnp.where(sel, meta[k, 2], h)
+        # the backward path ships meta as f32 (custom_vjp args must be
+        # floats); entries are exact small ints either way
+        off = jnp.where(sel, meta[k, 0].astype(jnp.int32), off)
+        w = jnp.where(sel, meta[k, 1].astype(jnp.int32), w)
+        h = jnp.where(sel, meta[k, 2].astype(jnp.int32), h)
     x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
     idx = off + x + y * w
@@ -566,7 +577,7 @@ def _split3(tab):
 _FETCH_PASSES = int(os.environ.get("MRT_FETCH_PASSES", "2"))
 
 
-def _onehot_dot(tab, oh, dims):
+def _onehot_dot(tab, oh, dims, passes=None):
     """``dot_general(tab, oh, dims)`` where ``oh`` is a 0/1 one-hot, via
     DEFAULT-precision passes against the nested bf16 split of ``tab``
     (see :func:`_split3`).
@@ -574,14 +585,18 @@ def _onehot_dot(tab, oh, dims):
     ``MRT_FETCH_PASSES`` picks the accuracy/speed point: 3 passes
     reconstruct the f32 product exactly (bitwise-equal grads vs the jnp
     path); the default 2 passes (hi+mid) carry ~2^-17 relative error —
-    5 orders below the grad gate (tools/grad_check.py, 5e-3) and
     invisible in u8 goldens — and drop a third of the fetch+scatter MXU
-    time in both megakernels."""
+    time in both megakernels. CAUTION: 2 passes are safe only where the
+    result feeds VALUES (shading, cotangent magnitudes). A fetch that
+    sets a replay's LINEARIZATION POINT must pass ``passes=3``: grazing
+    hits differentiate through ~1/sqrt(disc), so a 2^-17 shift of the
+    winner's attributes became an O(1) relative gradient error on
+    silhouette lanes (dof.json, ~0.3% of lanes, round-4 debugging)."""
     hi, mid, lo = _split3(tab)
     d = partial(jax.lax.dot_general, dimension_numbers=dims,
                 precision=jax.lax.Precision.DEFAULT)
     out = d(hi, oh) + d(mid, oh)
-    if _FETCH_PASSES >= 3:
+    if (passes or _FETCH_PASSES) >= 3:
         out = out + d(lo, oh)
     return out
 
@@ -1137,7 +1152,7 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
     the segmented-compaction path (tracer.trace_fused) splits a trace into
     several calls and packs live lanes first in between; ``o0T``/``d0T``
     are ignored when given (pass the same arrays)."""
-    assert (tex is None) == (maps is None) and not (train and tex)
+    assert (tex is None) == (maps is None)
     fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb = consts
     AT = pallas_tri._pad_p(AT)
     HT = pallas_tri._pad_p(HT)
@@ -1428,9 +1443,10 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
     off, w, h = zero_i, zero_i + 1, zero_i + 1
     for k in range(T):  # texture shapes: a handful of SMEM scalars
         sel = t == k
-        off = jnp.where(sel, meta[k, 0], off)
-        w = jnp.where(sel, meta[k, 1], w)
-        h = jnp.where(sel, meta[k, 2], h)
+        # f32-cast meta on the backward path; entries are exact ints
+        off = jnp.where(sel, meta[k, 0].astype(jnp.int32), off)
+        w = jnp.where(sel, meta[k, 1].astype(jnp.int32), w)
+        h = jnp.where(sel, meta[k, 2].astype(jnp.int32), h)
     x = jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
     idx_l = _uncomp8(off + x + y * w)                     # (1, RT)
@@ -1446,8 +1462,11 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
     blk = dot(TEXT[0:C]) + dot(TEXT[384:384 + C])
     sel_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
               == lo).astype(jnp.float32)
-    ch = [_comp8(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
-                         keepdims=True))
+    # re-comp to the CALLER's component block shape: the fwd tail uses
+    # (8, RT/8) blocks, the backward kernel (RT/128, 128) — both plain
+    # reshapes of the (1, RT) lane row, so match the input's shape
+    ch = [jnp.reshape(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
+                              keepdims=True), t.shape)
           for c in range(3 if rgb else 1)]
     return tuple(ch) if rgb else ch[0]
 
@@ -1774,6 +1793,7 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     pwr, A, B = p["pwr"], p["A"], p["B"]
     hit = te_sv < _BIG * 0.5
     live_i = live & hit
+    _abl = os.environ.get("MRT_BWD_ABLATE", "")
 
     atE = p["atE"]
     if analytic:
@@ -1784,6 +1804,8 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     te_f = jnp.where(live_i, te, 1.0)
     p_e = _vadd(o, _vscale(d, te_f))
     n_e = _normal_comp(layout, atE, p_e, row)
+    if "nonormg" in _abl:  # timing ablation: cut the normal's grad chain
+        n_e = jax.lax.stop_gradient(n_e)
     alb_e = _v3(atE, _C_ALB)
     rgh_e = _att(atE, _C_RGH)
     met_raw_e = _att(atE, _C_MET)
@@ -1849,9 +1871,13 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
         next_dir, from_p, norm_c = refl, p_e, n_e
         alb_c, rgh_c, met_c, emi_c = alb_e, rgh_e, met_e, emi_e
 
+    if "norandg" in _abl:  # timing ablation: cut the scatter-dir grad chain
+        nr = jax.lax.stop_gradient(nr)
+        refl = jax.lax.stop_gradient(refl)
+        next_dir = jax.lax.stop_gradient(next_dir)
     zero = jnp.zeros_like(pwr)
     l_col = (zero, zero, zero)
-    for li in range(L):
+    for li in range(L if "nolight" not in _abl else 0):
         lr = p["lr"][li]
         is_dir = lr[6] > 0.5
         lvec = tuple(jnp.where(is_dir, lr[3 + k], lr[k] - from_p[k])
@@ -2176,11 +2202,13 @@ def _uncomp_v3(v):
 
 
 def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
-                      *refs):
+                      maps, *refs):
     refs = list(refs)
     attr = refs.pop(0)
     if n_tri:
         ATg, HTg = refs.pop(0), refs.pop(0)
+    if maps:
+        text_r, tmeta = refs.pop(0), refs.pop(0)
     lights_s, dk_s = refs.pop(0), refs.pop(0)
     res_r, u8_r, ctA_r, ctB_r = refs[:4]
     refs = refs[4:]
@@ -2264,17 +2292,21 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
 
         def fetch_lane(tab, oh):
-            return _onehot_dot(tab[...], oh, (((0,), (0,)), ((), ())))
+            # exact 3-pass: this fetch sets the replay's linearization
+            # point (see _onehot_dot's CAUTION)
+            return _onehot_dot(tab[...], oh, (((0,), (0,)), ((), ())),
+                               passes=3)
 
         if "nofetch" in os.environ.get("MRT_BWD_ABLATE", ""):
             def fetch_lane(tab, oh):  # noqa: F811 — ablation stub
                 return jnp.zeros((tab.shape[1], RT), jnp.float32)
 
+        NC = attr.shape[1]
         ohE = (iota_rows == row_i).astype(jnp.float32)
-        atE_l = fetch_lane(attr, ohE)                      # (24, RT)
+        atE_l = fetch_lane(attr, ohE)                      # (NC, RT)
         p = {"o": _compL_v3(o_l), "d": _compL_v3(d_l),
              "pwr": _compL(res[6:7, :]), "A": _compL_v3(A_l),
-             "atE": tuple(_compL(atE_l[c:c + 1, :]) for c in range(_NCOL))}
+             "atE": tuple(_compL(atE_l[c:c + 1, :]) for c in range(NC))}
         zeros8 = jnp.zeros_like(p["pwr"])
         # B enters only additively (B2 = B + A*b): its value shapes no
         # cotangent, so the replay runs it at zero instead of saving it
@@ -2287,7 +2319,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
             ohX = (iota_rows == xrow_i).astype(jnp.float32)
             atX_l = fetch_lane(attr, ohX)
             p["atX"] = tuple(_compL(atX_l[c:c + 1, :])
-                             for c in range(_NCOL))
+                             for c in range(NC))
         if n_tri:
             Pt = ATg.shape[0]
             iota_t = jax.lax.broadcasted_iota(jnp.int32, (Pt, RT), 0)
@@ -2318,7 +2350,11 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
             primal = partial(_step_comp, layout, need_exit, L,
                              u=u, live=live, te_sv=_compL(te_l),
                              tx_sv=_compL(tx_l), row=_compL(row_l),
-                             xrow=_compL(xrow_l), lok=lok)
+                             xrow=_compL(xrow_l), lok=lok,
+                             analytic="nowt" not in ablate,
+                             maps=maps,
+                             text=text_r[...] if maps else None,
+                             tmeta=tmeta if maps else None)
             _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
             g = vjp((cto, ctd, ctp, ctA, ctB))[0]
 
@@ -2343,9 +2379,9 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         if "noscat" in ablate:
             d_at = jnp.zeros_like(dattr_o)
         else:
-            d_at = scat([g["atE"][c] for c in range(_NCOL)], ohE)
+            d_at = scat([g["atE"][c] for c in range(NC)], ohE)
             if need_exit:
-                d_at = d_at + scat([g["atX"][c] for c in range(_NCOL)],
+                d_at = d_at + scat([g["atX"][c] for c in range(NC)],
                                    ohX)
         dattr_o[...] += d_at
         if n_tri:
@@ -2372,7 +2408,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 
 
 def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
-                    res, u8s, ctA, ctB):
+                    res, u8s, ctA, ctB, tex=None, maps=None):
     """Whole-trace backward: returns (d_attr, d_lights, d_dk, d_oT, d_dT,
     d_AT, d_HT) for the trace's differentiable inputs."""
     segs, tri_start, n_tri = layout
@@ -2384,7 +2420,10 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     MR = _misc_rows(L)
     CR = _res_rows(L)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
-    RT = _pick_tile(_TILE_TBWD, Rp)
+    # textured replays materialize (384, RT) texel blocks per fetch on the
+    # scoped-VMEM stack — 8192-lane tiles overflow the 16 MB limit
+    want = min(_TILE_TBWD, 2048) if maps else _TILE_TBWD
+    RT = _pick_tile(want, Rp)
     # component blocks are (RT/128, 128): the misc accumulator and the
     # ct scratch are sized by the native 128-lane width and the block
     # sublane count G
@@ -2409,13 +2448,17 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
         ATg, HTg = ATp[:, 6:9], HTp[:, 2:3]
         in_specs += [cspec(ATg), cspec(HTg)]
         args += [ATg, HTg]
+    if tex is not None:
+        in_specs += [cspec(tex[0]), smem]
+        args += [tex[0], tex[1]]
     in_specs += [smem, smem, resspec, u8spec, r3, r3]
     args += [lights, dk_s, res, u8s, ctA, ctB]
 
+    NC = attr.shape[1]
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
-                  jax.ShapeDtypeStruct((_NCOL, P_pad), f32)]
-    out_specs = [r3, r3, acc((_NCOL, P_pad))]
+                  jax.ShapeDtypeStruct((NC, P_pad), f32)]
+    out_specs = [r3, r3, acc((NC, P_pad))]
     if n_tri:
         Pt = ATp.shape[0]
         out_shapes += [jax.ShapeDtypeStruct((3, Pt), f32),
@@ -2426,7 +2469,7 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 
     skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
     kern = partial(_trace_bwd_kernel, layout, need_exit, L, K, n_tri,
-                   tri_start, skip)
+                   tri_start, skip, maps)
     outs = list(pl.pallas_call(
         kern,
         grid=(Rp // RT, K),
@@ -2458,41 +2501,50 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 _TRACE_FNS: dict = {}
 
 
-def _get_trace_fn(layout, need_exit, L, K, has_gattr):
+def _get_trace_fn(layout, need_exit, L, K, has_gattr, maps=None):
     """Custom-vjp whole-trace: (consts, attr, gattr?, lights, dk, oT, dT,
-    u8s) -> (A (3,Rp), B (3,Rp), first_live (1,Rp)). ``gattr`` is derived
-    from ``attr`` outside (a gather), used by the FORWARD kernels only; it
-    gets a zero cotangent because the backward kernel's analytic d_attr is
-    already the complete gradient w.r.t. the table (the gather's own
-    transpose would double-count)."""
-    key = (layout, need_exit, L, K, has_gattr)
+    u8s[, TEXT, metaf]) -> (A (3,Rp), B (3,Rp), first_live (1,Rp)).
+    ``gattr`` is derived from ``attr`` outside (a gather), used by the
+    FORWARD kernels only; it gets a zero cotangent because the backward
+    kernel's analytic d_attr is already the complete gradient w.r.t. the
+    table (the gather's own transpose would double-count). With ``maps``
+    the split atlas ``TEXT`` and the f32-cast shape table ``metaf`` ride
+    as trailing args; both are constants of the trace (the nearest-texel
+    fetch is piecewise-constant — see :func:`enabled_for`) and get zero
+    cotangents."""
+    key = (layout, need_exit, L, K, has_gattr, maps)
     if key in _TRACE_FNS:
         return _TRACE_FNS[key]
 
     def split(args):
+        tex = None
+        if maps is not None:
+            tex = (args[-2], args[-1])
+            args = args[:-2]
         if has_gattr:
-            return args[0], args[1], args[2], args[3:]
-        return args[0], args[1], None, args[2:]
+            return args[0], args[1], args[2], args[3:], tex
+        return args[0], args[1], None, args[2:], tex
 
     @jax.custom_vjp
     def fn(*args):
-        consts, attr, gattr, (lights, dk, oT, dT, u8s) = split(args)
+        consts, attr, gattr, (lights, dk, oT, dT, u8s), tex = split(args)
         return _call_trace(layout, need_exit, L, K, consts, attr, lights,
-                           dk, oT, dT, u8s, gattr=gattr)
+                           dk, oT, dT, u8s, tex=tex, maps=maps, gattr=gattr)
 
     def fn_fwd(*args):
-        consts, attr, gattr, (lights, dk, oT, dT, u8s) = split(args)
+        consts, attr, gattr, (lights, dk, oT, dT, u8s), tex = split(args)
         A, B, fl, res = _call_trace(layout, need_exit, L, K, consts, attr,
                                     lights, dk, oT, dT, u8s, train=True,
-                                    gattr=gattr)
-        return (A, B, fl), (consts, attr, gattr, lights, dk, res, u8s)
+                                    tex=tex, maps=maps, gattr=gattr)
+        return (A, B, fl), (consts, attr, gattr, lights, dk, res, u8s, tex)
 
     def fn_bwd(resid, cts):
-        consts, attr, gattr, lights, dk, res, u8s = resid
+        consts, attr, gattr, lights, dk, res, u8s, tex = resid
         ctA, ctB, _ctfl = cts
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_AT,
          d_HT) = _call_trace_bwd(layout, need_exit, L, K, consts, attr,
-                                 lights, dk, res, u8s, ctA, ctB)
+                                 lights, dk, res, u8s, ctA, ctB,
+                                 tex=tex, maps=maps)
         d_consts = (jnp.zeros_like(consts[0]), jnp.zeros_like(consts[1]),
                     jnp.zeros_like(consts[2]), jnp.zeros_like(consts[3]),
                     jnp.zeros_like(consts[4]), jnp.zeros_like(consts[5]),
@@ -2502,7 +2554,10 @@ def _get_trace_fn(layout, need_exit, L, K, has_gattr):
         out = (d_consts, d_attr)
         if has_gattr:
             out = out + (jnp.zeros_like(gattr),)
-        return out + (d_lights, d_dk, d_oT, d_dT, jnp.zeros_like(u8s))
+        out = out + (d_lights, d_dk, d_oT, d_dT, jnp.zeros_like(u8s))
+        if maps is not None:
+            out = out + (jnp.zeros_like(tex[0]), jnp.zeros_like(tex[1]))
+        return out
 
     fn.defvjp(fn_fwd, fn_bwd)
     _TRACE_FNS[key] = fn
@@ -2524,7 +2579,7 @@ def trace_enabled(scene, Rp, inference=False) -> bool:
         return False
     if not enabled_for(scene, inference=inference):
         return False
-    if inference or scene.has_maps:
+    if inference:
         return True
     if _padded_rows(scene.kind_counts) > 512 and not _interpret():
         return False
@@ -2538,17 +2593,22 @@ def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
     (A (3,Rp), B (3,Rp), first_live (1,Rp) f32)."""
     layout = _seg_layout(scene.kind_counts)
     K = u8s.shape[0]
+    maps, tex_args = None, ()
     if tex is not None:
         maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
-        return _call_trace(layout, scene.any_refract, scene.n_lights, K,
-                           consts, attr, lights,
-                           jnp.asarray(decay, jnp.float32), oT, dT, u8s,
-                           tex=tex, maps=maps, gattr=gattr)
+        if inference:
+            return _call_trace(layout, scene.any_refract, scene.n_lights, K,
+                               consts, attr, lights,
+                               jnp.asarray(decay, jnp.float32), oT, dT, u8s,
+                               tex=tex, maps=maps, gattr=gattr)
+        # training: the shape table rides as f32 (custom_vjp cotangents
+        # must be floats; the kernels re-cast entries to int32 on read)
+        tex_args = (tex[0], tex[1].astype(jnp.float32))
     fn = _get_trace_fn(layout, scene.any_refract, scene.n_lights, K,
-                       gattr is not None)
+                       gattr is not None, maps)
     gf = (gattr,) if gattr is not None else ()
     return fn(consts, attr, *gf, lights, jnp.asarray(decay, jnp.float32),
-              oT, dT, u8s)
+              oT, dT, u8s, *tex_args)
 
 
 def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,

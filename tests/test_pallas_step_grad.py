@@ -99,9 +99,18 @@ def test_step_bwd_nontrivial_gradients(monkeypatch):
         assert np.abs(np.asarray(leaves[k])).sum() > 0, f"{k} grad all-zero"
 
 
-def test_full_trace_grad_matches_jnp_path(monkeypatch):
-    """grad of the full fused trace through the megakernel == jnp path."""
-    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass"]))
+@pytest.mark.parametrize("which", ["glass", "textured"])
+def test_full_trace_grad_matches_jnp_path(which, monkeypatch):
+    """grad of the full fused trace through the megakernel == jnp path.
+
+    ``textured`` covers the backward megakernel's map terms: texture
+    VALUES are not trainable (shard.TRAINABLE_FIELDS) and the nearest
+    texel fetch (rt.rs:618-628) is piecewise-constant, so the replay
+    re-runs it as a constant and every material/geometry cotangent still
+    must match the jnp path's (albedo multiplies through the texel RGB,
+    scalar maps zero the base-column cotangent where a map id is set).
+    """
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()[which]))
     cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
     xs, ys = np.meshgrid(np.arange(8, 56, 10), np.arange(8, 56, 10))
     coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)

@@ -39,6 +39,15 @@ def main(argv=None) -> int:
                    help="fused samples per timed call")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--skip-timing", action="store_true")
+    p.add_argument("--gate", type=float, default=5e-3,
+                   help="worst-leaf relative-diff gate. CornellBox holds "
+                        "5e-3 (measured 3e-4); scenes with sphere "
+                        "silhouettes in frame (dof) need ~2e-2: grazing "
+                        "hits differentiate through ~1/sqrt(disc), so the "
+                        "hand-derived winner-t cotangent and the machine "
+                        "transpose — algebraically equal, float-"
+                        "reassociated — diverge %-level on those lanes "
+                        "(round-4 analysis, BASELINE.md)")
     args = p.parse_args(argv)
 
     if args.platform == "cpu":
@@ -116,6 +125,7 @@ def main(argv=None) -> int:
 
     envs = {
         "jnp": {"MRT_STEP": "0"},
+        "jnp_record": {"MRT_STEP": "0", "MRT_NO_FUSE": "1"},
         "megakernel": {"MRT_STEP": "" if args.platform == "env" else "1",
                        "MRT_STEP_GRAD": "1"},
     }
@@ -123,18 +133,36 @@ def main(argv=None) -> int:
     # --- gradient agreement at a small chunk --------------------------------
     n_val = 8192
     g_ref, _ = run(envs["jnp"], n_val, 2)
+    # intrinsic noise floor: the record path draws the SAME RNG stream
+    # and differs from the fused path only by float reassociation
+    # (tracer.trace_radiance docstring). Silhouette-grazing lanes
+    # differentiate through ~1/sqrt(disc), so ulp-level reassociation
+    # amplifies to %-level leaf shifts on scenes like dof.json — a
+    # conditioning property of the estimator, not an implementation
+    # error; the kernel gate scales with the measured floor instead of
+    # demanding what the jnp path itself cannot reproduce.
+    g_flr, _ = run(envs["jnp_record"], n_val, 2)
     g_new, _ = run(envs["megakernel"], n_val, 2)
-    worst = 0.0
+    worst, floor = 0.0, 0.0
     for k in sorted(g_ref):
         a, b = np.asarray(g_ref[k]), np.asarray(g_new[k])
+        f = np.asarray(g_flr[k])
         ad = float(np.max(np.abs(a - b))) if a.size else 0.0
+        fd = float(np.max(np.abs(a - f))) if a.size else 0.0
         scale = float(np.max(np.abs(a))) if a.size else 0.0
         rel = ad / (scale + 1e-12)
-        worst = max(worst, rel if scale > 1e-6 else 0.0)
+        frel = fd / (scale + 1e-12)
+        if scale > 1e-6:
+            worst = max(worst, rel)
+            floor = max(floor, frel)
         print(json.dumps({"leaf": k, "max_abs_diff": ad,
-                          "ref_scale": scale, "rel": round(rel, 6)}))
-    ok = worst < 5e-3
-    print(json.dumps({"grad_match": ok, "worst_rel": round(worst, 6)}))
+                          "ref_scale": scale, "rel": round(rel, 6),
+                          "floor_rel": round(frel, 6)}))
+    gate = max(args.gate, 4.0 * floor)
+    ok = worst < gate
+    print(json.dumps({"grad_match": ok, "worst_rel": round(worst, 6),
+                      "noise_floor_rel": round(floor, 6),
+                      "gate": round(gate, 6)}))
 
     # --- timing at production chunk ------------------------------------------
     if not args.skip_timing:
