@@ -719,9 +719,12 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
 
     resid = None
     if want_resid:
-        resid = (te, tx if need_exit else te, row,
+        # texrows (maps only) is appended by the component tail below —
+        # the training path for textured scenes always runs it (their
+        # forward tile is lane-aligned; asserted there)
+        resid = [te, tx if need_exit else te, row,
                  xrow if need_exit else row,
-                 [lk.astype(jnp.float32) for lk in light_ok])
+                 [lk.astype(jnp.float32) for lk in light_ok], []]
 
     atX = fetch(xrow) if need_exit else None
 
@@ -747,16 +750,35 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         lok_c = [cb1(lk.astype(jnp.float32)) > 0.5 for lk in light_ok]
         rowf = cb1(row.astype(jnp.float32))
         xrowf = cb1(xrow.astype(jnp.float32)) if need_exit else rowf
-        o2c, d2c, pwr2c, A2c, B2c, live_ic, b_emitc = _step_comp(
+        want_tex = bool(want_resid and maps)
+        out_c = _step_comp(
             layout, need_exit, L, pc, u_c, live_c, cb1(te),
             cb1(tx) if need_exit else cb1(te), rowf, xrowf, lok_c,
             analytic=False, maps=maps,
-            text=text_r[...] if maps else None, tmeta=tmeta)
+            text=text_r[...] if maps else None, tmeta=tmeta,
+            want_tex=want_tex)
+        o2c, d2c, pwr2c, A2c, B2c, live_ic, b_emitc = out_c[:7]
+        if want_tex:
+            tex_e, tex_x = out_c[7]
+
+            def tex_rows(tv):
+                rows = []
+                for s, val in tv:
+                    rows += ([_uncomp8(c) for c in val] if s == 0
+                             else [_uncomp8(val)])
+                return rows
+
+            resid[5] = tex_rows(tex_e) + (tex_rows(tex_x) if need_exit
+                                          else [])
         live2c = live_ic & ~b_emitc if emit_kill else live_ic
         return (_uncomp_v3(o2c), _uncomp_v3(d2c), _uncomp8(pwr2c),
                 _uncomp8(live2c.astype(jnp.float32)), _uncomp_v3(A2c),
                 _uncomp_v3(B2c), resid, live_i.astype(jnp.float32))
 
+    # rows tail: inference-only for textured scenes — the training path
+    # saves texel residuals, which only the component tail emits
+    assert not (want_resid and maps), \
+        "textured training requires the component-form tail"
     n_e = _normal_rows(layout, atE, p_e, row)
     alb_e = _rows3(atE, _C_ALB)
     rgh_e = atE[_C_RGH:_C_RGH + 1]
@@ -912,7 +934,7 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb, has_gattr,
             layout, need_exit, L, maps, tables, tx_s, dk,
             o, d, pwr, live, A, B, u, want_resid=train)
         if train:
-            te, tx, row, xrow, lok = resid
+            te, tx, row, xrow, lok = resid[:5]
             te_o[...] = te
             tx_o[...] = tx
             row_o[...] = row
@@ -1023,13 +1045,14 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
 _R_TE, _R_TX, _R_ROW, _R_XROW, _R_LOK = 11, 12, 13, 14, 15
 
 
-def _res_rows(L):
+def _res_rows(L, need_exit=False, maps=None):
     """Residual rows per step: o(3) d(3) pwr(1) live(1) A(3) te tx row xrow
-    + L light-occlusion rows, padded to a sublane multiple. ``B`` is not
-    saved: it only ever enters additively (B2 = B + A*b), so its value is
-    irrelevant to every cotangent and its own cotangent is the constant
-    ctB of the trace output."""
-    n = _R_LOK + L
+    + L light-occlusion rows [+ saved texel values, entry then exit side —
+    see :func:`_tex_res_rows_side`], padded to a sublane multiple. ``B``
+    is not saved: it only ever enters additively (B2 = B + A*b), so its
+    value is irrelevant to every cotangent and its own cotangent is the
+    constant ctB of the trace output."""
+    n = _R_LOK + L + _tex_res_rows_side(maps) * (2 if need_exit else 1)
     return n + ((-n) % 8)
 
 
@@ -1114,7 +1137,7 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, has_gattr,
             fl_o[...] = live_hit_f
 
         if train:
-            te, tx, row, xrow, lok = resid
+            te, tx, row, xrow, lok, texres = resid
             res_o[0, 0:3, :] = o
             res_o[0, 3:6, :] = d
             res_o[0, 6:7, :] = pwr
@@ -1126,6 +1149,9 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, has_gattr,
             res_o[0, _R_XROW:_R_XROW + 1, :] = xrow.astype(jnp.float32)
             for li in range(L):
                 res_o[0, _R_LOK + li:_R_LOK + li + 1, :] = lok[li]
+            base = _R_LOK + L
+            for j, trow in enumerate(texres):
+                res_o[0, base + j:base + j + 1, :] = trow
         carry_s[0:3, :] = o2
         carry_s[3:6, :] = d2
         carry_s[6:7, :] = pwr2
@@ -1174,7 +1200,7 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
     NU = n_uni(need_exit)
     u8spec = pl.BlockSpec((1, NU, RT), lambda i, k: (k, 0, i))
     f32 = jnp.float32
-    CR = _res_rows(L)
+    CR = _res_rows(L, need_exit, maps)
     r14 = pl.BlockSpec((14, RT), lambda i, k: (0, i))
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
@@ -1471,23 +1497,57 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
     return tuple(ch) if rgb else ch[0]
 
 
+def _tex_slots(maps):
+    """Present map slots in slot order (0 = albedo rgb, 1-5 scalar)."""
+    if not maps:
+        return []
+    slots, _T = maps
+    return [s for s in range(6) if slots[s]]
+
+
+def _tex_res_rows_side(maps):
+    """Residual rows one hit side's texel values occupy (3 rgb + 1/scalar).
+
+    Texel VALUES are piecewise-constant in every differentiable input
+    (nearest fetch, floor index), so the forward kernel saves them and
+    the backward replay applies them as constants — no uv math, no
+    (384, RT) atlas blocks in the backward kernel, bit-identical
+    gradients (the machine VJP's chain through the fetch was already
+    zero)."""
+    return sum(3 if s == 0 else 1 for s in _tex_slots(maps))
+
+
+def _tex_values_comp(maps, TEXT, meta, at, u, v):
+    """Fetch the present slots' texel values: [(slot, value)] with a
+    3-tuple for slot 0 and a scalar block otherwise."""
+    slots, T = maps
+    out = []
+    for s in _tex_slots(maps):
+        tv = _att(at, _C_MAP + s)
+        out.append((s, _tex_sample_comp(TEXT, meta, T, tv, u, v, s == 0)))
+    return out
+
+
+def _apply_tex_comp(maps, at, texvals, alb, rgh, met, gls, opa, emi):
+    """Apply fetched/saved texel values (rt.rs:811-863): slot 0 multiplies
+    albedo by the rgb texel, slots 1-5 replace the scalar; -1 map id
+    keeps the base value."""
+    outs = [rgh, met, gls, opa, emi]
+    for s, val in texvals:
+        tv = _att(at, _C_MAP + s)
+        if s == 0:
+            alb = _vwhere(tv >= 0.0, _vop(jnp.multiply, alb, val), alb)
+        else:
+            outs[s - 1] = jnp.where(tv >= 0.0, val, outs[s - 1])
+    return (alb, *outs)
+
+
 def _apply_maps_comp(maps, TEXT, meta, at, u, v, alb, rgh, met, gls, opa,
                      emi):
     """Component-form twin of `_apply_maps_rows` (rt.rs:811-863)."""
-    slots, T = maps
-    tid = lambda s: _att(at, _C_MAP + s)
-    if slots[0]:
-        tv = tid(0)
-        rgbv = _tex_sample_comp(TEXT, meta, T, tv, u, v, True)
-        alb = _vwhere(tv >= 0.0, _vop(jnp.multiply, alb, rgbv), alb)
-    outs = [rgh, met, gls, opa, emi]
-    for i, s in enumerate((1, 2, 3, 4, 5)):
-        if not slots[s]:
-            continue
-        tv = tid(s)
-        val = _tex_sample_comp(TEXT, meta, T, tv, u, v, False)
-        outs[i] = jnp.where(tv >= 0.0, val, outs[i])
-    return (alb, *outs)
+    return _apply_tex_comp(maps, at, _tex_values_comp(maps, TEXT, meta, at,
+                                                      u, v),
+                           alb, rgh, met, gls, opa, emi)
 
 
 def _sphere_rand_comp(n, rough, u1, u2):
@@ -1769,7 +1829,8 @@ def _winner_t_pinned(layout, want_exit, at, o, d, row, t_sv, g3=None,
 
 
 def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
-               lok, analytic=True, maps=None, text=None, tmeta=None):
+               lok, analytic=True, maps=None, text=None, tmeta=None,
+               tex_sv=None, want_tex=False):
     """Sweep-free bounce step from saved residuals (component form).
 
     ``p`` holds the differentiable inputs: the pre-fetched winner/exit
@@ -1812,12 +1873,20 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     met_e = met_raw_e
     opa_e = _att(atE, _C_OPA)
     emi_e = _att(atE, _C_EMI)
+    tex_e = tex_x = None
     if maps:
         # texture overrides at the entry point; the dielectric tests keep
-        # the RAW metal column (material_from_attrs' `metal_scalar`)
-        u_uv, v_uv = _uv_comp(layout, atE, p_e, row)
-        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_comp(
-            maps, text, tmeta, atE, u_uv, v_uv,
+        # the RAW metal column (material_from_attrs' `metal_scalar`).
+        # ``tex_sv`` (the backward replay) applies SAVED texel values —
+        # piecewise-constant in every differentiable input, so skipping
+        # the uv+fetch recompute changes no cotangent.
+        if tex_sv is not None:
+            tex_e = tex_sv["e"]
+        else:
+            u_uv, v_uv = _uv_comp(layout, atE, p_e, row)
+            tex_e = _tex_values_comp(maps, text, tmeta, atE, u_uv, v_uv)
+        alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_tex_comp(
+            maps, atE, tex_e,
             alb_e, rgh_e, met_e, _att(atE, _C_GLS), opa_e, emi_e)
 
     diel_e = (met_raw_e == 0.0) & (opa_e != 0.0)
@@ -1843,9 +1912,14 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
         opa_x = _att(atX, _C_OPA)
         emi_x = _att(atX, _C_EMI)
         if maps:
-            ux_uv, vx_uv = _uv_comp(layout, atX, p_x, xrow)
-            alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_comp(
-                maps, text, tmeta, atX, ux_uv, vx_uv,
+            if tex_sv is not None:
+                tex_x = tex_sv["x"]
+            else:
+                ux_uv, vx_uv = _uv_comp(layout, atX, p_x, xrow)
+                tex_x = _tex_values_comp(maps, text, tmeta, atX, ux_uv,
+                                         vx_uv)
+            alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_tex_comp(
+                maps, atX, tex_x,
                 alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
         diel_x = (met_raw_x == 0.0) & (opa_x != 0.0)
         rough_f = jnp.where(diel_x & (u[3] < 0.8), 1.0, rgh_x)
@@ -1907,6 +1981,8 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     B2 = _vadd(B, _vop(jnp.multiply, A, b_f))
     # aux (no cotangents; the backward replay drops them): hit-liveness
     # and the emit draw, for the caller's carry-live policy
+    if want_tex:
+        return o2, d2, pwr2, A2, B2, live_i, b_emit, (tex_e, tex_x)
     return o2, d2, pwr2, A2, B2, live_i, b_emit
 
 
@@ -2207,8 +2283,6 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
     attr = refs.pop(0)
     if n_tri:
         ATg, HTg = refs.pop(0), refs.pop(0)
-    if maps:
-        text_r, tmeta = refs.pop(0), refs.pop(0)
     lights_s, dk_s = refs.pop(0), refs.pop(0)
     res_r, u8_r, ctA_r, ctB_r = refs[:4]
     refs = refs[4:]
@@ -2347,14 +2421,32 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
             g = {k: jax.tree_util.tree_map(jnp.zeros_like, v)
                  for k, v in p.items()}
         else:
+            tex_sv = None
+            if maps:
+                # saved texel values (piecewise-constant — see
+                # _tex_res_rows_side): entry side rows, then exit side
+                jrow = [_R_LOK + L]
+
+                def take_side():
+                    vals = []
+                    for s in _tex_slots(maps):
+                        n = 3 if s == 0 else 1
+                        j0 = jrow[0]
+                        rowsv = [_compL(res[j0 + c:j0 + c + 1, :])
+                                 for c in range(n)]
+                        jrow[0] = j0 + n
+                        vals.append((s, tuple(rowsv) if s == 0
+                                     else rowsv[0]))
+                    return vals
+
+                tex_sv = {"e": take_side(),
+                          "x": take_side() if need_exit else None}
             primal = partial(_step_comp, layout, need_exit, L,
                              u=u, live=live, te_sv=_compL(te_l),
                              tx_sv=_compL(tx_l), row=_compL(row_l),
                              xrow=_compL(xrow_l), lok=lok,
                              analytic="nowt" not in ablate,
-                             maps=maps,
-                             text=text_r[...] if maps else None,
-                             tmeta=tmeta if maps else None)
+                             maps=maps, tex_sv=tex_sv)
             _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
             g = vjp((cto, ctd, ctp, ctA, ctB))[0]
 
@@ -2408,7 +2500,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 
 
 def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
-                    res, u8s, ctA, ctB, tex=None, maps=None):
+                    res, u8s, ctA, ctB, maps=None):
     """Whole-trace backward: returns (d_attr, d_lights, d_dk, d_oT, d_dT,
     d_AT, d_HT) for the trace's differentiable inputs."""
     segs, tri_start, n_tri = layout
@@ -2418,12 +2510,9 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     Rp = ctA.shape[1]
     P_pad = attr.shape[0]
     MR = _misc_rows(L)
-    CR = _res_rows(L)
+    CR = _res_rows(L, need_exit, maps)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
-    # textured replays materialize (384, RT) texel blocks per fetch on the
-    # scoped-VMEM stack — 8192-lane tiles overflow the 16 MB limit
-    want = min(_TILE_TBWD, 2048) if maps else _TILE_TBWD
-    RT = _pick_tile(want, Rp)
+    RT = _pick_tile(_TILE_TBWD, Rp)
     # component blocks are (RT/128, 128): the misc accumulator and the
     # ct scratch are sized by the native 128-lane width and the block
     # sublane count G
@@ -2448,9 +2537,6 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
         ATg, HTg = ATp[:, 6:9], HTp[:, 2:3]
         in_specs += [cspec(ATg), cspec(HTg)]
         args += [ATg, HTg]
-    if tex is not None:
-        in_specs += [cspec(tex[0]), smem]
-        args += [tex[0], tex[1]]
     in_specs += [smem, smem, resspec, u8spec, r3, r3]
     args += [lights, dk_s, res, u8s, ctA, ctB]
 
@@ -2544,7 +2630,7 @@ def _get_trace_fn(layout, need_exit, L, K, has_gattr, maps=None):
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_AT,
          d_HT) = _call_trace_bwd(layout, need_exit, L, K, consts, attr,
                                  lights, dk, res, u8s, ctA, ctB,
-                                 tex=tex, maps=maps)
+                                 maps=maps)
         d_consts = (jnp.zeros_like(consts[0]), jnp.zeros_like(consts[1]),
                     jnp.zeros_like(consts[2]), jnp.zeros_like(consts[3]),
                     jnp.zeros_like(consts[4]), jnp.zeros_like(consts[5]),
