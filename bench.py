@@ -2,24 +2,40 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
-   "fwd_rays_per_s": N, "configs": {...}, "roofline_pct": N, ...}
+   "fwd_rays_per_s": N, "configs": {...}, ...}
 
 The headline value stays CornellBox 1080x1080 forward+backward rays/s per
 chip ("rays" = primary paths, one per pixel-sample, matching the reference's
 unit of work — /root/reference/src/sampler.rs:28-78; each path carries
 bounce+1 closest-hit sweeps plus per-light shadow sweeps). ``configs``
-reports forward throughput for every BASELINE.json config
-(Default/dof/CornellBox/CornellBox2/Mesh) so scene-class cliffs are visible
-to the driver, and ``roofline_pct`` is measured time vs the HBM
-speed-of-light time from XLA's own cost analysis of the compiled step.
+reports forward AND forward+backward throughput for every BASELINE.json
+config (Default/dof/CornellBox/CornellBox2/Mesh) so scene-class cliffs —
+including training-path fallbacks — are visible to the driver.
 
-Measures the *production* dispatch shape: SAMPLES_FWD paths per pixel
-fused into one device call via ``fori_loop`` (the Renderer's execute_many
-path) with the production RNG (``rng.make_key``), min-of-repeats to shed
-the remote tunnel's dispatch variance. The runtime's fixed per-dispatch
-cost (measured with a one-op program; tens of ms through the tunnel on
-this setup) is subtracted so values reflect device throughput; raw
-per-call times ship alongside.
+``util_pct`` (per config) is an honest utilization number replacing the
+old ``roofline_pct`` (XLA's byte-count cost analysis cannot see inside a
+Pallas megakernel's VMEM-resident work, so its "roofline" was
+meaningless):
+
+    util_pct = (model_flops / measured_vpu_peak) / per_sample_seconds
+
+where ``model_flops`` is XLA's own flop count of the DENSE jnp reference
+pipeline for one sample (the semantic work the renderer must do — every
+primitive row intersected per bounce plus shading; XLA sees all of it
+because that path uses no custom kernels), and ``measured_vpu_peak`` is a
+fused-multiply-add microbenchmark run on the same chip at bench time
+(slope between two unroll depths, so HBM traffic and dispatch cancel).
+A kernel that CULLS work the dense model counts (triangle candidate
+lists, dead-lane skips) can exceed 100% — that is speedup over the dense
+formulation, reported as such; the number is "effective utilization
+against dense semantic work", the same convention FlashAttention-style
+"effective TFLOPs" reporting uses.
+
+Measures the *production* dispatch shape: fused per-pixel samples in one
+device call via ``fori_loop`` (the Renderer's execute_many path) with the
+production RNG (``rng.make_key``). Per-sample time is the interleaved
+hi/lo slope (see ``_slope``) so the remote tunnel's per-call constant
+cancels; the fixed dispatch cost is also measured and reported.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is against an
 estimated 2e6 paths/s for the Rust renderer on its default 24-thread pool.
@@ -39,7 +55,7 @@ BASELINE_RAYS_PER_S = 2.0e6  # estimated Rust reference, 24 CPU threads
 SAMPLES_FWD = 64   # forward calls amortize dispatch like production renders
 SAMPLES_BWD = 64   # per-sample grads accumulate in-loop: residency is one
                    # sample's residuals regardless of the fused count
-HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
+SAMPLES_BWD_AUX = 16  # non-headline configs: fewer fused samples, same slope
 
 EXAMPLES = "/root/reference/example"
 # CornellBox (the headline) is measured FIRST: compiling/running other
@@ -52,6 +68,7 @@ REPORT_ORDER = ["Default", "dof", "CornellBox", "CornellBox2", "Mesh"]
 if os.environ.get("MRT_BENCH_CONFIGS"):  # dev subset, e.g. "CornellBox"
     CONFIGS = [c for c in CONFIGS
                if c in os.environ["MRT_BENCH_CONFIGS"].split(",")]
+SKIP_UTIL = os.environ.get("MRT_BENCH_UTIL", "1") != "1"
 
 
 def _load(name):
@@ -94,11 +111,6 @@ def _time_once(fn, *args):
     return time.perf_counter() - t0
 
 
-def _time_best(fn, *args, repeats=5):
-    jax.block_until_ready(fn(*args))  # compile
-    return min(_time_once(fn, *args) for _ in range(repeats))
-
-
 def _slope(fn_hi, fn_lo, s_hi, s_lo, *args, pairs=7):
     """Marginal per-unit-of-work seconds between two fused counts.
 
@@ -126,8 +138,7 @@ def _dispatch_overhead():
     """Fixed cost of one jitted dispatch+sync through the runtime.
 
     On tunneled PJRT plugins this is tens of ms and would otherwise be
-    attributed to the kernel; measured with a trivial one-op program and
-    subtracted from every per-call time (raw values also reported).
+    attributed to the kernel; measured with a trivial one-op program.
     """
     x = jax.block_until_ready(jnp.ones((8,), jnp.float32))
     f = jax.jit(lambda v: v * 1.0000001)
@@ -141,6 +152,70 @@ def _dispatch_overhead():
     return min(ts)
 
 
+def _vpu_peak():
+    """Measured elementwise FMA peak (flops/s) of this chip.
+
+    One fused kernel applies U chained ``y*a+b`` updates to a 16M-element
+    f32 block (arithmetic intensity ~U/4 flops/byte — compute-bound well
+    before U=128). The U_HI vs U_LO slope cancels the HBM read/write and
+    the dispatch constant, leaving pure ALU time for 2*(U_HI-U_LO)*N
+    flops."""
+    N = 32 * 1024 * 1024
+    x = jax.block_until_ready(jnp.full((N,), 0.5, jnp.float32))
+
+    def chain(u, k=16):
+        # k independent accumulator chains: one serial y=y*a+b chain is
+        # FMA-LATENCY bound (measured 0.64 TFLOP/s vs 4.0 with k=16)
+        def f(v):
+            accs = [v * (1.0 + 0.001 * i) for i in range(k)]
+            for _ in range(u // k):
+                for j in range(k):
+                    accs[j] = accs[j] * 1.0000001 + 1e-7
+            out = accs[0]
+            for j in range(1, k):
+                out = out + accs[j]
+            return out
+        return jax.jit(f)
+
+    # the hi-lo ALU delta must dwarf the tunnel's tens-of-ms jitter or
+    # the slope is noise: 2*1280*32Mi = 86 GFLOP ~ 20+ ms of pure FMA
+    U_HI, U_LO = 1536, 256
+    f_hi, f_lo = chain(U_HI), chain(U_LO)
+    for pairs in (5, 7):  # retry once if tunnel noise flips the slope
+        per_u, _ = _slope(f_hi, f_lo, U_HI, U_LO, x, pairs=pairs)
+        if per_u > 0:
+            return 2.0 * N / per_u
+    return None
+
+
+def _model_flops(scene, cam, render_wh, bounce, loss, coords, key):
+    """XLA's flop count of ONE dense-reference sample (no custom kernels:
+    every primitive row intersected per bounce + shading, the semantic
+    work). Returns flops or None if lowering fails."""
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    env = {"MRT_STEP": "0", "MRT_HIT3": "0", "MRT_TRI_PALLAS": "0",
+           "MRT_TRI_MXU": "0"}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        def one(scene, coords, key):
+            return trace_radiance(scene, cam, render_wh, bounce, loss,
+                                  coords, key, inference=True)
+
+        cost = (jax.jit(one).lower(scene, coords, key).compile()
+                .cost_analysis())
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def main():
     from micro_raytracer_tpu.models.compiler import compile_camera, compile_scene
     from micro_raytracer_tpu.models.render import _pick_chunk
@@ -152,6 +227,7 @@ def main():
     enable_compile_cache()
     key = rng.make_key(0)
     overhead = _dispatch_overhead()
+    peak = None if SKIP_UTIL else _vpu_peak()
     per_config = {}
     headline = {}
 
@@ -164,74 +240,47 @@ def main():
         loss = jnp.float32(cfg.rt.loss)
         chunk = _pick_chunk(render_wh[0] * render_wh[1], scene)
         coords = _coords(chunk, render_wh)
+        is_head = name == "CornellBox"
 
-        def fwd(scene, coords, key, _wh=render_wh, _b=bounce, _l=loss,
-                _cam=cam, _chunk=chunk):
-            def body(i, acc):
-                rad = trace_radiance(scene, _cam, _wh, _b, _l, coords,
-                                     jax.random.fold_in(key, i),
-                                     inference=True)
-                return acc + rad
+        def fwd_n(S):
+            def f(scene, coords, key, _S=S):
+                def body(i, acc):
+                    rad = trace_radiance(scene, cam, render_wh, bounce,
+                                         loss, coords,
+                                         jax.random.fold_in(key, i),
+                                         inference=True)
+                    return acc + rad
 
-            return jax.lax.fori_loop(0, SAMPLES_FWD, body,
-                                     jnp.zeros((_chunk, 3), jnp.float32))
+                return jax.lax.fori_loop(0, _S, body,
+                                         jnp.zeros((chunk, 3), jnp.float32))
+            return jax.jit(f)
 
-        S_LO_C = max(1, SAMPLES_FWD // 4)
-
-        def fwd_c(scene, coords, key, _wh=render_wh, _b=bounce, _l=loss,
-                  _cam=cam, _chunk=chunk, _S=S_LO_C):
-            def body(i, acc):
-                rad = trace_radiance(scene, _cam, _wh, _b, _l, coords,
-                                     jax.random.fold_in(key, i),
-                                     inference=True)
-                return acc + rad
-
-            return jax.lax.fori_loop(0, _S, body,
-                                     jnp.zeros((_chunk, 3), jnp.float32))
-
-        fwd_j = jax.jit(fwd)
-        fwd_raw = _time_best(fwd_j, scene, coords, key, repeats=3)
-        fwd_s = max(fwd_raw - overhead, 0.25 * fwd_raw)
-        per_s, _ = _slope(fwd_j, jax.jit(fwd_c), SAMPLES_FWD, S_LO_C,
+        S_LO = max(1, SAMPLES_FWD // 4)
+        fwd_j = fwd_n(SAMPLES_FWD)
+        fwd_raw = _time_once(fwd_j, scene, coords, key)
+        per_s, _ = _slope(fwd_j, fwd_n(S_LO), SAMPLES_FWD, S_LO,
                           scene, coords, key, pairs=5)
-        if per_s > 0:
-            rays = chunk / per_s
-        else:  # pathological draws: fall back to overhead subtraction
-            rays = chunk * SAMPLES_FWD / fwd_s
-        per_config[name] = {"fwd_rays_per_s": round(rays, 1), "chunk": chunk,
-                            "bounce": bounce, "n_prims": scene.n_prims,
-                            "raw_call_ms": round(fwd_raw * 1e3, 1)}
+        rays = chunk / per_s if per_s > 0 else None
+        entry = {"fwd_rays_per_s": round(rays, 1) if rays else None,
+                 "chunk": chunk, "bounce": bounce,
+                 "n_prims": scene.n_prims,
+                 "raw_call_ms": round(fwd_raw * 1e3, 1)}
 
-        if name == "CornellBox":
-            # speed-of-light: HBM bytes the compiled step says it moves
-            try:
-                cost = fwd_j.lower(scene, coords, key).compile().cost_analysis()
-                ba = float(cost.get("bytes accessed", 0.0))
-                sol_s = ba / (HBM_GBPS * 1e9)
-                headline["roofline_pct"] = round(100.0 * sol_s / fwd_s, 1)
-            except Exception:
-                headline["roofline_pct"] = None
-            # per-config rays is already the two-point slope: device-side
-            # per-sample time is flat in the fused count (profiler: the
-            # kernel span is identical at S=8 and S=64), but the tunnel's
-            # fixed per-call cost varies tens of ms run to run, so a
-            # single overhead-subtracted call carries that variance; the
-            # slope cancels every per-call constant
-            headline["fwd_rays_per_s"] = round(rays, 1)
+        # forward+backward: grads w.r.t. every trainable scene leaf, per-
+        # sample grads summed in-loop (identical gradients to
+        # differentiating the summed loss — tools/gradshape_check.py —
+        # but only ONE sample's trace residuals are ever live)
+        params, _ = shard.split_params(scene)
+        S_B = SAMPLES_BWD if is_head else SAMPLES_BWD_AUX
 
-            # forward+backward: grads w.r.t. every trainable scene leaf
-            params, _ = shard.split_params(scene)
-
-            # production grad-accumulation shape: per-sample grads summed
-            # in-loop (identical gradients to differentiating the summed
-            # loss — tools/gradshape_check.py — but only ONE sample's trace
-            # residuals are ever live, and it measures ~12% faster)
-            def fwdbwd(params, coords, key):
+        def fwdbwd_n(S):
+            def f(params, coords, key, _S=S):
                 def sample_grad(i):
                     def loss_fn(p):
                         s = shard.merge_params(scene, p)
-                        rad = trace_radiance(s, cam, render_wh, bounce, loss,
-                                             coords, jax.random.fold_in(key, i))
+                        rad = trace_radiance(s, cam, render_wh, bounce,
+                                             loss, coords,
+                                             jax.random.fold_in(key, i))
                         return jnp.mean(rad ** 2)
 
                     return jax.grad(loss_fn)(params)
@@ -242,39 +291,34 @@ def main():
                     return jax.tree_util.tree_map(jnp.add, acc,
                                                   sample_grad(i))
 
-                return jax.lax.fori_loop(0, SAMPLES_BWD, body, zero)
+                return jax.lax.fori_loop(0, _S, body, zero)
+            return jax.jit(f)
 
-            B_LO = max(1, SAMPLES_BWD // 4)
+        B_LO = max(1, S_B // 4)
+        fwdbwd_j = fwdbwd_n(S_B)
+        bwd_raw = _time_once(fwdbwd_j, params, coords, key)
+        per_s_b, _ = _slope(fwdbwd_j, fwdbwd_n(B_LO), S_B, B_LO,
+                            params, coords, key,
+                            pairs=9 if is_head else 5)
+        rays_b = chunk / per_s_b if per_s_b > 0 else None
+        entry["fwdbwd_rays_per_s"] = round(rays_b, 1) if rays_b else None
+        entry["fwdbwd_raw_call_ms"] = round(bwd_raw * 1e3, 1)
 
-            def fwdbwd_lo(params, coords, key):
-                def body(i, acc):
-                    return jax.tree_util.tree_map(jnp.add, acc,
-                                                  sample_grad_fn(i, params,
-                                                                 coords, key))
+        if peak and per_s > 0:
+            mf = _model_flops(scene, cam, render_wh, bounce, loss, coords,
+                              key)
+            if mf:
+                entry["util_pct"] = round(100.0 * (mf / peak) / per_s, 1)
+                entry["model_gflops_per_sample"] = round(mf / 1e9, 2)
 
-                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-                return jax.lax.fori_loop(0, B_LO, body, zero)
+        per_config[name] = entry
+        if is_head:
+            headline["fwd_rays_per_s"] = entry["fwd_rays_per_s"]
+            headline["fwdbwd_rays_per_s"] = entry["fwdbwd_rays_per_s"]
+            headline["util_pct"] = entry.get("util_pct")
 
-            def sample_grad_fn(i, params, coords, key):
-                def loss_fn(p):
-                    s = shard.merge_params(scene, p)
-                    rad = trace_radiance(s, cam, render_wh, bounce, loss,
-                                         coords, jax.random.fold_in(key, i))
-                    return jnp.mean(rad ** 2)
-
-                return jax.grad(loss_fn)(params)
-
-            fwdbwd_j = jax.jit(fwdbwd)
-            bwd_raw = _time_best(fwdbwd_j, params, coords, key, repeats=3)
-            bwd_s = max(bwd_raw - overhead, 0.25 * bwd_raw)
-            sub = chunk * SAMPLES_BWD / bwd_s
-            per_s_b, _ = _slope(fwdbwd_j, jax.jit(fwdbwd_lo), SAMPLES_BWD,
-                                B_LO, params, coords, key, pairs=9)
-            headline["fwdbwd_rays_per_s"] = round(
-                chunk / per_s_b if per_s_b > 0 else sub, 1)
-            headline["fwdbwd_rays_per_s_sub"] = round(sub, 1)
-            headline["fwdbwd_raw_call_ms"] = round(bwd_raw * 1e3, 1)
-
+    if not headline:  # dev subset without CornellBox: first config stands in
+        headline = dict(per_config[CONFIGS[0]])
     value = headline["fwdbwd_rays_per_s"]
     print(json.dumps({
         "metric": "cornellbox_1080_rays_per_s_per_chip_fwdbwd",
@@ -282,13 +326,13 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
         "fwd_rays_per_s": headline["fwd_rays_per_s"],
-        "roofline_pct": headline["roofline_pct"],
+        "util_pct": headline.get("util_pct"),
+        "vpu_peak_gflops": round(peak / 1e9, 1) if peak else None,
         "configs": {k: per_config[k] for k in REPORT_ORDER
                     if k in per_config},
         "dispatch_overhead_ms": round(overhead * 1e3, 2),
-        "fwdbwd_rays_per_s_sub": headline.get("fwdbwd_rays_per_s_sub"),
-        "fwdbwd_raw_call_ms": headline.get("fwdbwd_raw_call_ms"),
-        "samples_per_call": {"fwd": SAMPLES_FWD, "bwd": SAMPLES_BWD},
+        "samples_per_call": {"fwd": SAMPLES_FWD, "bwd": SAMPLES_BWD,
+                             "bwd_aux": SAMPLES_BWD_AUX},
         "device": str(jax.devices()[0]),
     }))
 
