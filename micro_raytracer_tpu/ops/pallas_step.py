@@ -1986,6 +1986,469 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     return o2, d2, pwr2, A2, B2, live_i, b_emit
 
 
+def _norm_bwd(v, ct):
+    """Transpose of :func:`_vnorm_safe` at pre-norm ``v`` (guard semantics
+    of `_vnorm_cv_bwd`): d_v = inv*(ct - out*(out.ct))."""
+    s = _vdot(v, v)
+    inv = jax.lax.rsqrt(jnp.maximum(s, _VN_EPS))
+    t = _vdot(v, ct)
+    g = jnp.where(s >= _VN_EPS, t * inv * inv, 0.0) * inv
+    return tuple(inv * c - g * vv for c, vv in zip(ct, v))
+
+
+def _sphere_dir(u1, u2):
+    """The constant unit direction `_sphere_rand_comp` mixes in (u1/u2 are
+    non-differentiable uniforms)."""
+    ct = jnp.clip(1.0 - 2.0 * u1, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    phi = u2 * (2.0 * 3.14159265358979323846)
+    return (st * jnp.cos(phi), st * jnp.sin(phi), ct)
+
+
+def _side_primal(layout, at, o, d, live_i, t_sv, rowv, maps, tex):
+    """Primal intermediates of one hit side that the hand backward needs:
+    hit point chain, normal chain (with pre-normalization vector), raw +
+    textured material columns."""
+    kinds, has_tri = _kinds_present(layout)
+    t_f = jnp.where(live_i, t_sv, 1.0)
+    p_h = _vadd(o, _vscale(d, t_f))
+    ip = _v3(at, _C_IP)
+    pa = _v3(at, _C_NA)
+    rel = _vsub(p_h, ip)
+    need_hp = bool(kinds & {schema.KIND_SPHERE, schema.KIND_BOX})
+    hp = _vadd(ip, _vmatvec(at, rel)) if need_hp else None
+    vals = {}
+    if schema.KIND_SPHERE in kinds:
+        vals[schema.KIND_SPHERE] = _vsub(hp, ip)
+    if schema.KIND_PLANE in kinds:
+        vals[schema.KIND_PLANE] = pa
+    if schema.KIND_BOX in kinds:
+        q = tuple((hp[k] - ip[k])
+                  * (2.0 / jnp.where(pa[k] == 0.0, 1.0, pa[k]))
+                  for k in range(3))
+        ix1, ix_1 = jnp.abs(q[0] - 1.0) < EPS, jnp.abs(q[0] + 1.0) < EPS
+        iy1, iy_1 = jnp.abs(q[1] - 1.0) < EPS, jnp.abs(q[1] + 1.0) < EPS
+        iz1, iz_1 = jnp.abs(q[2] - 1.0) < EPS, jnp.abs(q[2] + 1.0) < EPS
+        zero = jnp.zeros_like(q[0])
+        one = jnp.ones_like(q[0])
+        base_x = jnp.where(ix1, one, jnp.where(ix_1, -one, zero))
+        base_y = jnp.where(ix1 | ix_1, zero,
+                           jnp.where(iy1, one, jnp.where(iy_1, -one, zero)))
+        anyz = iz1 | iz_1
+        vals[schema.KIND_BOX] = (jnp.where(anyz, zero, base_x),
+                                 jnp.where(anyz, zero, base_y),
+                                 jnp.where(iz1, one,
+                                           jnp.where(iz_1, -one, zero)))
+    n_obj = _kind_select(layout, rowv, vals, pa, _vwhere)
+    mv = _vmatvec(at, n_obj)
+    s_mv = _vdot(mv, mv)
+    invn = jax.lax.rsqrt(jnp.maximum(s_mv, _VN_EPS))
+    nn = _vscale(mv, invn)
+    n = _vfinite0(nn)
+
+    alb = _v3(at, _C_ALB)
+    rgh = _att(at, _C_RGH)
+    met_raw = _att(at, _C_MET)
+    met = met_raw
+    gls = _att(at, _C_GLS)
+    opa = _att(at, _C_OPA)
+    emi = _att(at, _C_EMI)
+    if maps:
+        alb, rgh, met, gls, opa, emi = _apply_tex_comp(
+            maps, at, tex, alb, rgh, met, gls, opa, emi)
+    return {"t_f": t_f, "p": p_h, "ip": ip, "pa": pa, "rel": rel,
+            "hp": hp, "n_obj": n_obj, "mv": mv, "nn": nn, "n": n,
+            "alb": alb, "rgh": rgh, "met_raw": met_raw, "met": met,
+            "gls": gls, "opa": opa, "emi": emi}
+
+
+def _side_bwd(layout, at, sp, live_i, ct_p, ct_n, d_at):
+    """Transpose of the hit-point + normal chain of one side.
+
+    Accumulates into ``d_at`` (mutable per-column list) and returns
+    (ct_o, ct_d, ct_t) — the cotangents flowing to the ray and the
+    winner t (the caller routes ct_t through the analytic winner-t)."""
+    kinds, has_tri = _kinds_present(layout)
+    masks, m_tri = _seg_masks(layout, sp["rowv"])
+    # n = finite0(nn): pass ct only where the normalized value was finite
+    ct_nn = tuple(jnp.where(jnp.isfinite(c_nn), c, 0.0)
+                  for c_nn, c in zip(sp["nn"], ct_n))
+    ct_mv = _norm_bwd(sp["mv"], ct_nn)
+    # mv = M n_obj
+    n_obj = sp["n_obj"]
+    for k in range(3):
+        for j in range(3):
+            d_at[3 * k + j] = d_at[3 * k + j] + ct_mv[k] * n_obj[j]
+    ct_nobj = tuple(_att(at, j) * ct_mv[0] + _att(at, 3 + j) * ct_mv[1]
+                    + _att(at, 6 + j) * ct_mv[2] for j in range(3))
+    # per-kind select transpose (box normals are piecewise constants)
+    zero = jnp.zeros_like(ct_nobj[0])
+    ct_hp = (zero, zero, zero)
+    ct_ip = (zero, zero, zero)
+    if schema.KIND_SPHERE in kinds:
+        m = masks[schema.KIND_SPHERE]
+        ms = tuple(jnp.where(m, c, 0.0) for c in ct_nobj)
+        ct_hp = _vadd(ct_hp, ms)
+        ct_ip = _vsub(ct_ip, ms)
+    m_pa = None
+    if schema.KIND_PLANE in kinds:
+        m_pa = masks[schema.KIND_PLANE]
+    if has_tri:
+        m_pa = m_tri if m_pa is None else (m_pa | m_tri)
+    if m_pa is not None:
+        for j in range(3):
+            d_at[_C_NA + j] = d_at[_C_NA + j] + jnp.where(m_pa,
+                                                          ct_nobj[j], 0.0)
+    # hp = ip + M (p - ip): d hp/d p = M, d hp/d ip = I - M
+    ct_ph = list(ct_p)
+    if sp["hp"] is not None:
+        rel = sp["rel"]
+        for k in range(3):
+            for j in range(3):
+                d_at[3 * k + j] = d_at[3 * k + j] + ct_hp[k] * rel[j]
+        mt_hp = tuple(_att(at, j) * ct_hp[0] + _att(at, 3 + j) * ct_hp[1]
+                      + _att(at, 6 + j) * ct_hp[2] for j in range(3))
+        for j in range(3):
+            ct_ph[j] = ct_ph[j] + mt_hp[j]
+        ct_ip = tuple(ct_ip[j] + ct_hp[j] - mt_hp[j] for j in range(3))
+    for j in range(3):
+        d_at[_C_IP + j] = d_at[_C_IP + j] + ct_ip[j]
+    # p = o + d*t_f; t_f = where(live_i, t, 1)
+    ct_o = tuple(ct_ph)
+    ct_d = _vscale(ct_ph, sp["t_f"])
+    ct_t = jnp.where(live_i, _vdot(sp["d"], ct_ph), 0.0)
+    return ct_o, ct_d, ct_t
+
+
+def _tex_base_bwd(maps, at, ct_alb, ct_rgh, ct_met, ct_gls):
+    """Transpose of `_apply_tex_comp` to the BASE material columns (texel
+    values are constants): albedo multiplies through the rgb texel,
+    replaced scalars zero their base cotangent."""
+    tex = at["tex"]
+    atv = at["at"]
+    for s, val in tex:
+        tv = _att(atv, _C_MAP + s)
+        sel = tv >= 0.0
+        if s == 0:
+            ct_alb = tuple(jnp.where(sel, c * v, c)
+                           for c, v in zip(ct_alb, val))
+        elif s == 1:
+            ct_rgh = jnp.where(sel, 0.0, ct_rgh)
+        elif s == 2:
+            ct_met = jnp.where(sel, 0.0, ct_met)
+        elif s == 3:
+            ct_gls = jnp.where(sel, 0.0, ct_gls)
+        # slots 4/5 (opacity/emission) feed comparisons only: no cotangent
+    return ct_alb, ct_rgh, ct_met, ct_gls
+
+
+def _step_comp_bwd(layout, need_exit, L, p, u, live, te_sv, tx_sv, row,
+                   xrow, lok, cts, maps=None, tex_sv=None):
+    """Hand-derived transpose of :func:`_step_comp` (rt.rs:956-994 fold +
+    the step chain), replacing ``jax.vjp``'s replay+machine-transpose in
+    the backward megakernel. The machine VJP re-runs the full primal
+    (~F ops) plus its mechanical transpose (~2F); this computes only the
+    intermediates the chain rule references (~0.7F) and a factored
+    reverse sweep (~F). Values differ from the machine transpose only by
+    float reassociation (pinned to it by
+    ``test_hand_bwd_matches_machine``). Returns the cotangent dict for
+    ``p``."""
+    cto2, ctd2, ctp2, ctA2, ctB2 = cts
+    o, d = p["o"], p["d"]
+    pwr, A = p["pwr"], p["A"]
+    atE = p["atE"]
+    hit = te_sv < _BIG * 0.5
+    live_i = live & hit
+    kinds, has_tri = _kinds_present(layout)
+    zero = jnp.zeros_like(pwr)
+    z3 = (zero, zero, zero)
+
+    # ---- primal recompute (only what the chain rule references) ----
+    texs_e = tex_sv["e"] if (maps and tex_sv) else None
+    sp_e = _side_primal(layout, atE, o, d, live_i, te_sv, row, maps, texs_e)
+    sp_e["rowv"], sp_e["d"] = row, d
+    diel_e = (sp_e["met_raw"] == 0.0) & (sp_e["opa"] != 0.0)
+    cond_re = diel_e & (u[0] < 0.8)
+    rough_r = jnp.where(cond_re, 1.0, sp_e["rgh"])
+    v_e = _sphere_dir(u[1], u[2])
+    w1 = _vadd(sp_e["n"], _vscale(v_e, rough_r))
+    nr = _vnorm_safe(w1)
+    dn_r = _vdot(d, nr)
+    w2 = _vsub(d, _vscale(nr, 2.0 * dn_r))
+    refl = _vnorm_safe(w2)
+
+    if need_exit:
+        atX = p["atX"]
+        texs_x = tex_sv["x"] if (maps and tex_sv) else None
+        sp_x = _side_primal(layout, atX, o, d, live_i, tx_sv, xrow, maps,
+                            texs_x)
+        sp_x["rowv"], sp_x["d"] = xrow, d
+        diel_x = (sp_x["met_raw"] == 0.0) & (sp_x["opa"] != 0.0)
+        cond_rf = diel_x & (u[3] < 0.8)
+        rough_f = jnp.where(cond_rf, 1.0, sp_x["rgh"])
+        v_x = _sphere_dir(u[4], u[5])
+        w1x = _vadd(sp_x["n"], _vscale(v_x, rough_f))
+        nf = _vnorm_safe(w1x)
+        eta = 1.0 + 0.5 * sp_x["gls"]
+        cos = -_vdot(nf, d)
+        kk = 1.0 - eta * eta * (1.0 - cos * cos)
+        refr_ok = kk >= 0.0
+        k_safe = jnp.where(refr_ok, jnp.maximum(kk, 1e-12), 1.0)
+        sq = jnp.sqrt(k_safe)
+        s3 = cos * eta + sq
+        w3 = _vadd(_vscale(d, eta), _vscale(nf, s3))
+        nn3 = _vnorm_safe(w3)
+        choose = (u[6] < jnp.minimum(1.0 - sp_e["opa"], 0.85)) & refr_ok
+        nch = jnp.logical_not(choose)
+        norm_c = _vwhere(choose, sp_x["n"], sp_e["n"])
+        alb_c = _vwhere(choose, sp_x["alb"], sp_e["alb"])
+        rgh_c = jnp.where(choose, sp_x["rgh"], sp_e["rgh"])
+        met_c = jnp.where(choose, sp_x["met"], sp_e["met"])
+        emi_c = jnp.where(choose, sp_x["emi"], sp_e["emi"])
+        from_p = _vwhere(choose, sp_x["p"], sp_e["p"])
+    else:
+        norm_c, alb_c, rgh_c = sp_e["n"], sp_e["alb"], sp_e["rgh"]
+        met_c, emi_c, from_p = sp_e["met"], sp_e["emi"], sp_e["p"]
+
+    b_emit = u[7] < emi_c
+    m_ab = live_i & jnp.logical_not(b_emit)   # a_f/b_f "shade" branch
+    m_em = live_i & b_emit
+
+    # ---- light-loop primals (per light; L is small and static) ----
+    lights_pr = []
+    l_col = z3
+    one_mrgh = 1.0 - rgh_c
+    one_mmet = 1.0 - met_c
+    o_col = _vscale(alb_c, one_mmet)
+    for li in range(L):
+        lr = p["lr"][li]
+        is_dir = lr[6] > 0.5
+        lvec = tuple(jnp.where(is_dir, lr[3 + k], lr[k] - from_p[k])
+                     for k in range(3))
+        s_lv = _vdot(lvec, lvec)
+        invl = jax.lax.rsqrt(s_lv)
+        ln = _vscale(lvec, invl)
+        dotln = _vdot(ln, norm_c)
+        diff = jnp.maximum(dotln, 0.0)
+        lrefl = _vsub(ln, _vscale(norm_c, 2.0 * dotln))
+        dl = _vdot(d, lrefl)
+        m = jnp.maximum(dl, 0.0)
+        m2 = m * m
+        m4 = m2 * m2
+        m8 = m4 * m4
+        m16 = m8 * m8
+        s32 = m16 * m16
+        spec = s32 * one_mrgh
+        contrib = tuple((o_col[k] * diff * lr[8 + k] + spec) * lr[7]
+                        for k in range(3))
+        l_col = _vadd(l_col, _vwhere(lok[li], contrib, z3))
+        lights_pr.append((is_dir, lvec, invl, ln, dotln, diff, lrefl, dl,
+                          m, m2, m4, m8, m16, s32, spec, contrib))
+
+    # ---- reverse sweep ----
+    # fold: A2 = A*a_f; B2 = B + A*b_f; pwr2 = pwr*dk; o2 = from_p +
+    # EPS*next_dir; d2 = next_dir
+    af_in = tuple(pwr * (0.5 + alb_c[k]) for k in range(3))
+    a_f = tuple(jnp.where(live_i, jnp.where(b_emit, 0.0, af_in[k]), 1.0)
+                for k in range(3))
+    b_f = tuple(jnp.where(live_i,
+                          jnp.where(b_emit, alb_c[k], pwr * l_col[k]), 0.0)
+                for k in range(3))
+    g_A = tuple(ctA2[k] * a_f[k] + ctB2[k] * b_f[k] for k in range(3))
+    ct_af = tuple(ctA2[k] * A[k] for k in range(3))
+    ct_bf = tuple(ctB2[k] * A[k] for k in range(3))
+    ct_pwr = ctp2 * p["dk"]
+    g_dk = ctp2 * pwr
+    ct_alb_c = list(z3)
+    ct_lcol = list(z3)
+    for k in range(3):
+        caf = jnp.where(m_ab, ct_af[k], 0.0)
+        cbf_sh = jnp.where(m_ab, ct_bf[k], 0.0)
+        ct_pwr = ct_pwr + caf * (0.5 + alb_c[k]) + cbf_sh * l_col[k]
+        ct_alb_c[k] = caf * pwr + jnp.where(m_em, ct_bf[k], 0.0)
+        ct_lcol[k] = cbf_sh * pwr
+    ct_from_p = list(cto2)
+    ct_nd = tuple(cto2[k] * EPS + ctd2[k] for k in range(3))
+
+    # light loop transpose
+    g_lr = []
+    ct_nc = list(z3)
+    ct_rgh_c = zero
+    ct_met_c = zero
+    ct_d = list(z3)
+    for li in range(L):
+        lr = p["lr"][li]
+        (is_dir, lvec, invl, ln, dotln, diff, lrefl, dl,
+         m, m2, m4, m8, m16, s32, spec, contrib) = lights_pr[li]
+        glr = [zero] * 11
+        ct_con = tuple(jnp.where(lok[li], ct_lcol[k], 0.0)
+                       for k in range(3))
+        ct_diff = zero
+        ct_spec = zero
+        for k in range(3):
+            glr[7] = glr[7] + ct_con[k] * (o_col[k] * diff * lr[8 + k]
+                                           + spec)
+            clp = ct_con[k] * lr[7]
+            glr[8 + k] = o_col[k] * diff * clp
+            ct_ocol_k = clp * diff * lr[8 + k]
+            ct_alb_c[k] = ct_alb_c[k] + ct_ocol_k * one_mmet
+            ct_met_c = ct_met_c - ct_ocol_k * alb_c[k]
+            ct_diff = ct_diff + clp * o_col[k] * lr[8 + k]
+            ct_spec = ct_spec + clp
+        # spec = m^32 * (1 - rgh_c)
+        ct_rgh_c = ct_rgh_c - ct_spec * s32
+        ct_m = ct_spec * one_mrgh * 32.0 * (m16 * m8 * m4 * m2 * m)
+        ct_dl = jnp.where(dl >= 0.0, ct_m, 0.0)
+        for k in range(3):
+            ct_d[k] = ct_d[k] + ct_dl * lrefl[k]
+        ct_lrefl = _vscale(d, ct_dl)
+        # lrefl = ln - 2*dotln*norm_c
+        ct_ln = list(ct_lrefl)
+        ct_dotln = -2.0 * _vdot(norm_c, ct_lrefl)
+        for k in range(3):
+            ct_nc[k] = ct_nc[k] - 2.0 * dotln * ct_lrefl[k]
+        # diff = max(dotln, 0)
+        ct_dotln = ct_dotln + jnp.where(dotln >= 0.0, ct_diff, 0.0)
+        for k in range(3):
+            ct_ln[k] = ct_ln[k] + ct_dotln * norm_c[k]
+            ct_nc[k] = ct_nc[k] + ct_dotln * ln[k]
+        # ln = lvec * rsqrt(lvec.lvec)
+        t_l = _vdot(lvec, ct_ln)
+        gl = t_l * invl * invl * invl
+        ct_lvec = tuple(invl * ct_ln[k] - gl * lvec[k] for k in range(3))
+        for k in range(3):
+            glr[3 + k] = jnp.where(is_dir, ct_lvec[k], 0.0)
+            glr[k] = jnp.where(is_dir, 0.0, ct_lvec[k])
+            ct_from_p[k] = ct_from_p[k] - jnp.where(is_dir, 0.0,
+                                                    ct_lvec[k])
+        g_lr.append(glr)
+
+    # selections -> per-side cotangents
+    if need_exit:
+        ct_refl = tuple(jnp.where(nch, c, 0.0) for c in ct_nd)
+        ct_refr = tuple(jnp.where(choose, c, 0.0) for c in ct_nd)
+        ct_pe = [jnp.where(nch, c, 0.0) for c in ct_from_p]
+        ct_px = [jnp.where(choose, c, 0.0) for c in ct_from_p]
+        ct_ne = [jnp.where(nch, c, 0.0) for c in ct_nc]
+        ct_nx = [jnp.where(choose, c, 0.0) for c in ct_nc]
+        ct_alb_e = [jnp.where(nch, c, 0.0) for c in ct_alb_c]
+        ct_alb_x = [jnp.where(choose, c, 0.0) for c in ct_alb_c]
+        ct_rgh_e = jnp.where(nch, ct_rgh_c, 0.0)
+        ct_rgh_x = jnp.where(choose, ct_rgh_c, 0.0)
+        ct_met_e = jnp.where(nch, ct_met_c, 0.0)
+        ct_met_x = jnp.where(choose, ct_met_c, 0.0)
+        ct_emi_e = jnp.where(nch, zero, 0.0)   # emi: comparisons only
+    else:
+        ct_refl = ct_nd
+        ct_pe = ct_from_p
+        ct_ne = ct_nc
+        ct_alb_e = ct_alb_c
+        ct_rgh_e = ct_rgh_c
+        ct_met_e = ct_met_c
+
+    # refl = norm(w2), w2 = d - 2*(d.nr)*nr
+    ct_w2 = _norm_bwd(w2, ct_refl)
+    t_nr = _vdot(nr, ct_w2)
+    ct_nr = list(z3)
+    for k in range(3):
+        ct_d[k] = ct_d[k] + ct_w2[k] - 2.0 * t_nr * nr[k]
+        ct_nr[k] = -2.0 * (d[k] * t_nr + dn_r * ct_w2[k])
+    # nr = norm(w1), w1 = n_e + rough_r*v_e
+    ct_w1 = _norm_bwd(w1, ct_nr)
+    ct_rough_r = _vdot(v_e, ct_w1)
+    for k in range(3):
+        ct_ne[k] = ct_ne[k] + ct_w1[k]
+    ct_rgh_e = ct_rgh_e + jnp.where(cond_re, 0.0, ct_rough_r)
+
+    if need_exit:
+        # refr = finite0(norm(w3))
+        ct_nn3 = tuple(jnp.where(jnp.isfinite(c3), c, 0.0)
+                       for c3, c in zip(nn3, ct_refr))
+        ct_w3 = _norm_bwd(w3, ct_nn3)
+        ct_eta = _vdot(d, ct_w3)
+        ct_nf = list(_vscale(ct_w3, s3))
+        ct_s3 = _vdot(nf, ct_w3)
+        for k in range(3):
+            ct_d[k] = ct_d[k] + eta * ct_w3[k]
+        ct_cos = ct_s3 * eta
+        ct_eta = ct_eta + ct_s3 * cos
+        ct_ksafe = ct_s3 * 0.5 / sq
+        ct_kk = jnp.where(refr_ok & (kk >= 1e-12), ct_ksafe, 0.0)
+        ct_eta = ct_eta + ct_kk * (-2.0 * eta * (1.0 - cos * cos))
+        ct_cos = ct_cos + ct_kk * (eta * eta * 2.0 * cos)
+        # cos = -(nf.d)
+        for k in range(3):
+            ct_nf[k] = ct_nf[k] - ct_cos * d[k]
+            ct_d[k] = ct_d[k] - ct_cos * nf[k]
+        ct_gls_x = 0.5 * ct_eta
+        # nf = norm(w1x), w1x = n_x + rough_f*v_x
+        ct_w1x = _norm_bwd(w1x, ct_nf)
+        ct_rough_f = _vdot(v_x, ct_w1x)
+        for k in range(3):
+            ct_nx[k] = ct_nx[k] + ct_w1x[k]
+        ct_rgh_x = ct_rgh_x + jnp.where(cond_rf, 0.0, ct_rough_f)
+
+    # material-base transposes + attribute assembly, entry side
+    NCOL = len(atE) if isinstance(atE, (tuple, list)) else atE.shape[0] // 8
+    d_atE = [zero] * NCOL
+    ct_gls_e = zero
+    if maps:
+        ct_alb_e, ct_rgh_e, ct_met_e, ct_gls_e = _tex_base_bwd(
+            maps, {"tex": texs_e, "at": atE},
+            ct_alb_e, ct_rgh_e, ct_met_e, ct_gls_e)
+    for j in range(3):
+        d_atE[_C_ALB + j] = d_atE[_C_ALB + j] + ct_alb_e[j]
+    d_atE[_C_RGH] = d_atE[_C_RGH] + ct_rgh_e
+    d_atE[_C_MET] = d_atE[_C_MET] + ct_met_e
+    d_atE[_C_GLS] = d_atE[_C_GLS] + ct_gls_e
+    ct_oE, ct_dE, ct_te = _side_bwd(layout, atE, sp_e, live_i,
+                                    ct_pe, ct_ne, d_atE)
+    wt_at, wt_o, wt_d, wt_g3, wt_h3 = _winner_t_bwd_math(
+        layout, False, atE, o, d, row, ct_te, p.get("g3e"), p.get("h3e"))
+    wt_at = list(wt_at)
+    for j in range(NCOL):
+        d_atE[j] = d_atE[j] + wt_at[j]
+    g_o = [ct_oE[k] + wt_o[k] for k in range(3)]
+    g_d = [ct_d[k] + ct_dE[k] + wt_d[k] for k in range(3)]
+    g = {"o": tuple(g_o), "d": None, "pwr": ct_pwr, "A": g_A,
+         "B": tuple(ctB2), "dk": g_dk, "lr": g_lr,
+         "atE": tuple(d_atE)}
+    if has_tri:
+        g["g3e"] = wt_g3 if wt_g3 is not None else z3
+        g["h3e"] = wt_h3 if wt_h3 is not None else zero
+
+    if need_exit:
+        d_atX = [zero] * NCOL
+        ct_gls_x2 = ct_gls_x
+        if maps:
+            ct_alb_x, ct_rgh_x, ct_met_x, ct_gls_x2 = _tex_base_bwd(
+                maps, {"tex": texs_x, "at": atX},
+                ct_alb_x, ct_rgh_x, ct_met_x, ct_gls_x2)
+        for j in range(3):
+            d_atX[_C_ALB + j] = d_atX[_C_ALB + j] + ct_alb_x[j]
+        d_atX[_C_RGH] = d_atX[_C_RGH] + ct_rgh_x
+        d_atX[_C_MET] = d_atX[_C_MET] + ct_met_x
+        d_atX[_C_GLS] = d_atX[_C_GLS] + ct_gls_x2
+        ct_oX, ct_dX, ct_tx = _side_bwd(layout, atX, sp_x, live_i,
+                                        ct_px, ct_nx, d_atX)
+        wtx_at, wtx_o, wtx_d, wtx_g3, wtx_h3 = _winner_t_bwd_math(
+            layout, True, atX, o, d, xrow, ct_tx, p.get("g3x"),
+            p.get("h3x"))
+        wtx_at = list(wtx_at)
+        for j in range(NCOL):
+            d_atX[j] = d_atX[j] + wtx_at[j]
+        for k in range(3):
+            g_o[k] = g_o[k] + ct_oX[k] + wtx_o[k]
+            g_d[k] = g_d[k] + ct_dX[k] + wtx_d[k]
+        g["o"] = tuple(g_o)
+        g["atX"] = tuple(d_atX)
+        if has_tri:
+            g["g3x"] = wtx_g3 if wtx_g3 is not None else z3
+            g["h3x"] = wtx_h3 if wtx_h3 is not None else zero
+    g["d"] = tuple(g_d)
+    return g
+
+
 # --- backward megakernel ----------------------------------------------------
 
 def _misc_rows(L):
@@ -2441,14 +2904,25 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 
                 tex_sv = {"e": take_side(),
                           "x": take_side() if need_exit else None}
-            primal = partial(_step_comp, layout, need_exit, L,
-                             u=u, live=live, te_sv=_compL(te_l),
-                             tx_sv=_compL(tx_l), row=_compL(row_l),
-                             xrow=_compL(xrow_l), lok=lok,
-                             analytic="nowt" not in ablate,
-                             maps=maps, tex_sv=tex_sv)
-            _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
-            g = vjp((cto, ctd, ctp, ctA, ctB))[0]
+            if os.environ.get("MRT_BWD_HAND", "1") == "1":
+                # hand-derived transpose: ~2F vector ops vs the machine
+                # replay's ~3F (primal + mechanical transpose); equality
+                # vs the machine path pinned by
+                # test_hand_bwd_matches_machine
+                g = _step_comp_bwd(layout, need_exit, L, p, u, live,
+                                   _compL(te_l), _compL(tx_l),
+                                   _compL(row_l), _compL(xrow_l), lok,
+                                   (cto, ctd, ctp, ctA, ctB),
+                                   maps=maps, tex_sv=tex_sv)
+            else:
+                primal = partial(_step_comp, layout, need_exit, L,
+                                 u=u, live=live, te_sv=_compL(te_l),
+                                 tx_sv=_compL(tx_l), row=_compL(row_l),
+                                 xrow=_compL(xrow_l), lok=lok,
+                                 analytic="nowt" not in ablate,
+                                 maps=maps, tex_sv=tex_sv)
+                _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
+                g = vjp((cto, ctd, ctp, ctA, ctB))[0]
 
         for c in range(3):
             ct_s[G * c:G * (c + 1), :] = g["o"][c]

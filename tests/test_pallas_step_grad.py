@@ -131,3 +131,37 @@ def test_full_trace_grad_matches_jnp_path(which, monkeypatch):
     for r, k in zip(g_ref, g_ker):
         np.testing.assert_allclose(np.asarray(k), np.asarray(r),
                                    rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("which", ["opaque", "glass", "textured"])
+def test_hand_bwd_matches_machine(which, monkeypatch):
+    """The hand-derived step transpose (pallas_step._step_comp_bwd) ==
+    jax.vjp of the replay, through the full trace kernel (interpret).
+
+    The hand chain factors the machine transpose's algebra; values may
+    differ only by float reassociation, so the gate is tight."""
+    import os
+
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()[which]))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 10), np.arange(8, 56, 10))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    monkeypatch.setenv("MRT_STEP", "1")
+
+    def loss(albedo, lpwr, ipos, rough):
+        s = dataclasses.replace(scene, mat_albedo=albedo, light_pwr=lpwr,
+                                inst_pos=ipos, mat_rough=rough)
+        rad = tracer.trace_radiance(s, cam, (64, 64), 3, jnp.float32(0.15),
+                                    coords, key)
+        return jnp.mean(rad ** 2)
+
+    args = (scene.mat_albedo, scene.light_pwr, scene.inst_pos,
+            scene.mat_rough)
+    monkeypatch.setenv("MRT_BWD_HAND", "0")
+    g_m = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setenv("MRT_BWD_HAND", "1")
+    g_h = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    for r, k in zip(g_m, g_h):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=2e-4, atol=1e-7)
