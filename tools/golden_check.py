@@ -73,6 +73,69 @@ GOLDEN_FILES = {
 }
 
 
+def run_tri_self(sample: int, save_dir: str | None = None) -> dict:
+    """Triangle-scene self-golden: Mesh.json rendered by the production
+    Pallas path vs the dense jnp sweep, SAME device and RNG streams.
+
+    The reference publishes no Mesh render (and no Rust toolchain exists
+    here), so the dense path — oracle-validated per-kind — stands in as
+    the reference. Identical sampling means the difference is pure
+    numerics plus the documented compacted-culling deviation: phantom
+    |det| >= E rows whose numeric hit point lies outside the triangle
+    are dropped by the candidate-list sweep (~0.7% of silhouette pixels,
+    BASELINE.md round 2). The downsampled-MAE gate pins semantic drift;
+    ``bad_frac`` (full-res pixels off by > 8/255) additionally tracks
+    per-pixel divergence — it includes chaotic path splits from
+    ulp-level winner-t differences between the implementations
+    (measured ~13% at 32 spp), so it is reported, not gated.
+    """
+    import os as _os
+
+    from micro_raytracer_tpu.frontends import cli
+    from micro_raytracer_tpu.models.render import render_image
+
+    def render(env):
+        saved = {k: _os.environ.get(k) for k in env}
+        _os.environ.update(env)
+        try:
+            cfg = cli.parse_render(cli.build_parser().parse_args(
+                ["/root/reference/example/Mesh.json",
+                 "--res", "320", "180"]))
+            cfg.rt.sample = sample
+            return render_image(cfg).astype(np.float32)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = v
+
+    ours = render({})
+    dense = render({"MRT_STEP": "0", "MRT_HIT3": "0",
+                    "MRT_TRI_PALLAS": "0", "MRT_TRI_MXU": "0"})
+    # chaos amplification: a single winner-t ulp difference between the
+    # two implementations flips a bounce path, so PER-PIXEL equality
+    # cannot hold across them; like the published goldens, compare the
+    # expectation (box-downsampled). bad_frac (full-res pixels off by
+    # > 8/255) is reported to track silhouette-phantom drift.
+    f = 8
+    ds = np.abs(downsample(ours, f) - downsample(dense, f))
+    mae = float(ds.mean())
+    diff = np.abs(ours - dense)
+    bad_frac = float((diff.max(axis=-1) > 8.0).mean())
+    if save_dir:
+        from PIL import Image
+
+        os.makedirs(save_dir, exist_ok=True)
+        Image.fromarray(ours.astype(np.uint8)).save(
+            os.path.join(save_dir, "tri_self_ours.png"))
+        Image.fromarray(dense.astype(np.uint8)).save(
+            os.path.join(save_dir, "tri_self_dense.png"))
+    return {"name": "tri_self", "mae_u8": round(mae, 2),
+            "bad_frac": round(bad_frac, 4), "shape": list(ours.shape),
+            "sample": sample}
+
+
 def downsample(img: np.ndarray, f: int) -> np.ndarray:
     h, w = img.shape[:2]
     h2, w2 = h // f * f, w // f * f
@@ -111,19 +174,30 @@ def run_golden(name: str, sample: int, save_dir: str | None = None) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sample", type=int, default=64)
-    p.add_argument("--scenes", default="out0,out1,out2,out3,out4",
+    p.add_argument("--scenes", default="out0,out1,out2,out3,out4,tri_self",
                    help="comma-separated golden names")
     p.add_argument("--save", default=None, help="dir to save our renders")
     args = p.parse_args(argv)
 
     results = []
+    tri_ok = True
     for name in args.scenes.split(","):
-        r = run_golden(name.strip(), args.sample, args.save)
+        name = name.strip()
+        if name == "tri_self":
+            r = run_tri_self(min(args.sample, 32), args.save)
+            # identical RNG streams on both sides: the gate is tight
+            # (phantom silhouette drift, ~0.7% of pixels historically)
+            tri_ok = r["mae_u8"] < 3.0
+            print(json.dumps(r))
+            continue
+        r = run_golden(name, args.sample, args.save)
         print(json.dumps(r))
         results.append(r)
-    worst = max(r["mae_u8"] for r in results)
-    print(json.dumps({"worst_mae_u8": worst, "pass": worst < 12.0}))
-    return 0 if worst < 12.0 else 1
+    worst = max(r["mae_u8"] for r in results) if results else 0.0
+    ok = worst < 12.0 and tri_ok
+    print(json.dumps({"worst_mae_u8": worst, "tri_self_pass": tri_ok,
+                      "pass": ok}))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
