@@ -23,27 +23,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import intersect, linalg, pallas_hit, rng
+from ..ops import intersect, linalg, rng
 from ..ops.linalg import EPS
 from .compiler import CameraArrays, SceneArrays
 from . import camera as camera_mod
 from . import schema
 
 
-# The Pallas kernel is opt-in (see pallas_hit.available): the dense sweep
-# measured faster at small P and the SMEM prim table overflows at large P.
-# Bounded here to the regime that compiles.
-_PALLAS_MAX_PRIMS = 256
-
-
-def _use_pallas(scene) -> bool:
-    return pallas_hit.available() and scene.n_prims <= _PALLAS_MAX_PRIMS
-
-
 def _closest_hit(scene, frames, o, d, tri_pack=None):
     """All-kind fused Pallas closest-hit on TPU; triangle-segment Pallas
-    reduction for oversized meshes; opt-in legacy kernels; dense jnp sweep
-    otherwise (CPU/tests)."""
+    reduction for oversized meshes; dense jnp sweep otherwise
+    (CPU/tests). Two superseded kernel generations (a per-ray SMEM-table
+    loop and a ray-tiled dense sweep) were removed in round 4 — their
+    measured lessons live in BASELINE.md ("superseded kernels")."""
     from ..ops import pallas_hit3, pallas_tri
 
     if pallas_hit3.enabled_for(scene):
@@ -54,9 +46,6 @@ def _closest_hit(scene, frames, o, d, tri_pack=None):
         return intersect.closest_hit_tri_pallas(scene, frames, o, d,
                                                 need_exit=scene.any_refract,
                                                 tri_pack=tri_pack)
-    if _use_pallas(scene):
-        return pallas_hit.closest_hit_fast(scene, frames, o, d,
-                                           need_exit=scene.any_refract)
     return intersect.closest_hit(scene, frames, o, d,
                                  need_exit=scene.any_refract,
                                  tri_pack=tri_pack)
@@ -68,10 +57,6 @@ def _any_hit(scene, frames, o, d, tri_pack=None):
 
     if pallas_hit3.enabled_for(scene):
         return pallas_hit3.any_hit(scene, frames, o, d, tri_pack=tri_pack)
-    if _use_pallas(scene):
-        return jax.lax.stop_gradient(
-            pallas_hit.closest_hit_fast(scene, frames, o, d,
-                                        need_exit=False).hit)
     return intersect.any_hit(scene, frames, o, d, tri_pack=tri_pack)
 
 
