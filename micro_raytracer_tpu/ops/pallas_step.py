@@ -2987,6 +2987,16 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     CR = _res_rows(L, need_exit, maps)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
     RT = _pick_tile(_TILE_TBWD, Rp)
+    # the in-kernel winner fetch/scatter keeps ~(rows, RT) f32 one-hot
+    # operands (attr + tri-plane tables, entry and exit sides) on the
+    # scoped-VMEM stack: wide tables shrink the lane tile instead of
+    # falling back to the per-step scan (Mesh: 2056 rows -> RT 512)
+    rows_oh = P_pad + (pallas_tri._pad_p(consts[6]).shape[0] if n_tri
+                       else 0)
+    # floor 1024: the (1, RT) -> (RT/128, 128) component relayout needs
+    # >= 8 target sublanes to lower (Mosaic shape-cast limitation)
+    while RT > 1024 and rows_oh * RT * 8 > 12 * 2 ** 20:
+        RT //= 2
     # component blocks are (RT/128, 128): the misc accumulator and the
     # ct scratch are sized by the native 128-lane width and the block
     # sublane count G
@@ -3141,7 +3151,10 @@ def trace_enabled(scene, Rp, inference=False) -> bool:
         return False
     if inference:
         return True
-    if _padded_rows(scene.kind_counts) > 512 and not _interpret():
+    # training tables up to _MAX_GRAD_ROWS run in-kernel: the backward
+    # tile shrinks with the table (see _call_trace_bwd's rows_oh clamp)
+    # instead of falling back to the per-step scan
+    if _padded_rows(scene.kind_counts) > _MAX_GRAD_ROWS and not _interpret():
         return False
     return _interpret() or Rp % (_SUBL * 128) == 0
 
