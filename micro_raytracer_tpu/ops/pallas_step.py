@@ -726,7 +726,15 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
                  xrow if need_exit else row,
                  [lk.astype(jnp.float32) for lk in light_ok], []]
 
-    atX = fetch(xrow) if need_exit else None
+    # no-mesh refractive scenes: every group is ONE primitive, so the
+    # exit winner is the entry winner (xrow == row always) — skip the
+    # exit-side one-hot fetch and reuse the entry bundle (bit-identical:
+    # the elided fetch would return the same rows). The residual xrow
+    # slot then carries the refract-branch draw instead (the backward's
+    # linearization of `choose` — recomputing it in the other kernel
+    # could flip near kk == 0 under different fusion).
+    same_row = need_exit and layout[2] == 0
+    atX = atE if same_row else (fetch(xrow) if need_exit else None)
 
     if _comp_fwd_on() and (RT % (_SUBL * 128) == 0 or _interpret()):
         # component-form tail: relayout the fetched bundles and the carry
@@ -742,24 +750,27 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
               "lr": [[lights[li, j] * ones8 for j in range(11)]
                      for li in range(L)],
               "atE": cb(atE)}
-        if need_exit:
+        if need_exit and not same_row:
             pc["atX"] = cb(atX)
         ub = cb(u)
         u_c = _u_logical(ub, _att, need_exit)
         live_c = cb1(live.astype(jnp.float32)) > 0.5
         lok_c = [cb1(lk.astype(jnp.float32)) > 0.5 for lk in light_ok]
         rowf = cb1(row.astype(jnp.float32))
-        xrowf = cb1(xrow.astype(jnp.float32)) if need_exit else rowf
+        xrowf = (cb1(xrow.astype(jnp.float32))
+                 if need_exit and not same_row else rowf)
         want_tex = bool(want_resid and maps)
         out_c = _step_comp(
             layout, need_exit, L, pc, u_c, live_c, cb1(te),
             cb1(tx) if need_exit else cb1(te), rowf, xrowf, lok_c,
             analytic=False, maps=maps,
             text=text_r[...] if maps else None, tmeta=tmeta,
-            want_tex=want_tex)
-        o2c, d2c, pwr2c, A2c, B2c, live_ic, b_emitc = out_c[:7]
+            want_tex=want_tex, same_row=same_row)
+        o2c, d2c, pwr2c, A2c, B2c, live_ic, b_emitc, aux_c = out_c
+        if same_row and want_resid:
+            resid[3] = _uncomp8(aux_c["choose"].astype(jnp.float32))
         if want_tex:
-            tex_e, tex_x = out_c[7]
+            tex_e, tex_x = aux_c["tex"]
 
             def tex_rows(tv):
                 rows = []
@@ -829,6 +840,8 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         refr = _safe_norm_rows(d * eta + nf * (cos * eta + jnp.sqrt(k_safe)))
         refr = jnp.where(jnp.isfinite(refr), refr, 0.0)
         choose = (ul[6] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+        if same_row and want_resid:
+            resid[3] = choose.astype(jnp.float32)
 
         next_dir = jnp.where(choose, refr, refl)
         from_p = jnp.where(choose, p_x, p_e)
@@ -938,7 +951,9 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb, has_gattr,
             te_o[...] = te
             tx_o[...] = tx
             row_o[...] = row
-            xrow_o[...] = xrow
+            # same_row scenes store the refract draw in the xrow slot
+            # (resid[3] is its f32 mask there — see _step_math)
+            xrow_o[...] = xrow.astype(jnp.int32)
             for li in range(L):
                 lok_o[li:li + 1, :] = lok[li]
         o2_o[...] = o2
@@ -1779,6 +1794,136 @@ def _winner_t_bwd_math(layout, want_exit, at, o, d, row, ct, g3, h3):
     return d_at, d_o, d_d, d_g3, d_h3
 
 
+def _winner_t_bwd_both(layout, at, o, d, row, ct_e, ct_x):
+    """Merged entry+exit winner-t transpose for same_row scenes (the exit
+    winner is the entry winner, so both t's share one primal chain:
+    sphere entry/exit are the +/-sqrt roots of ONE quadratic
+    (rt.rs:299-330), a plane's exit t IS its entry t (rt.rs:333-358), box
+    entry/exit are the lo/hi of ONE slab sweep (rt.rs:401-412)). Per-lane
+    equal to `_winner_t_bwd_math(entry) + _winner_t_bwd_math(exit)` up to
+    summation order, at a little over half the vector ops: the object-
+    space transform, the quadratic/slab primals and the M^T tail are
+    computed once. No triangle branch — same_row excludes meshes."""
+    kinds, _has_tri = _kinds_present(layout)
+    ip = _v3(at, _C_IP)
+    na = _v3(at, _C_NA)
+    rel = _vsub(o, ip)
+    op = _vadd(ip, _vmatvec(at, rel))
+    dp = _vmatvec(at, d)
+    zero = jnp.zeros_like(ct_e)
+    z3 = (zero, zero, zero)
+    ct_op, ct_dp, ct_ip, ct_na = z3, z3, z3, z3
+    ct_r = zero
+    masks, _m_tri = _seg_masks(layout, row)
+
+    if schema.KIND_SPHERE in kinds:
+        m = masks[schema.KIND_SPHERE]
+        ce = jnp.where(m, ct_e, 0.0)
+        cx = jnp.where(m, ct_x, 0.0)
+        r_ = _att(at, _C_PR)
+        oc = _vsub(op, ip)
+        a = _vdot(dp, dp)
+        b = 2.0 * _vdot(oc, dp)
+        c_ = _vdot(oc, oc) - r_ * r_
+        disc = b * b - 4.0 * a * c_
+        sq = jnp.sqrt(jnp.where(disc >= 0.0, jnp.maximum(disc, 1e-12), 1.0))
+        inv_a2 = 1.0 / jnp.where(a == 0.0, 1.0, 2.0 * a)
+        t_en = (-b - sq) * inv_a2
+        t_ex = (-b + sq) * inv_a2
+        g_disc = jnp.where(disc >= 1e-12,
+                           (cx - ce) * inv_a2 * (0.5 / sq), 0.0)
+        ct_b = -(ce + cx) * inv_a2 + g_disc * (2.0 * b)
+        ct_a = (jnp.where(a == 0.0, 0.0,
+                          -2.0 * inv_a2 * (ce * t_en + cx * t_ex))
+                + g_disc * (-4.0 * c_))
+        ct_c = g_disc * (-4.0 * a)
+        ct_dp = _vadd(ct_dp, _vadd(_vscale(dp, 2.0 * ct_a),
+                                   _vscale(oc, 2.0 * ct_b)))
+        ct_oc = _vadd(_vscale(dp, 2.0 * ct_b), _vscale(oc, 2.0 * ct_c))
+        ct_op = _vadd(ct_op, ct_oc)
+        ct_ip = _vsub(ct_ip, ct_oc)
+        ct_r = ct_r + ct_c * (-2.0 * r_)
+
+    if schema.KIND_PLANE in kinds:
+        # exit t == entry t for a plane: one chain, summed cotangent
+        ctm = jnp.where(masks[schema.KIND_PLANE], ct_e + ct_x, 0.0)
+        nn = _vdot(na, na)
+        nn_ok = nn > 0.0
+        inv = jax.lax.rsqrt(jnp.where(nn_ok, nn, 1.0))
+        nr = _vscale(na, inv)
+        dn = _vdot(dp, nr)
+        dn_ok = dn != 0.0
+        inv_dn = 1.0 / jnp.where(dn_ok, dn, 1.0)
+        num = -(_vdot(op, nr) - _vdot(nr, ip))
+        t_ad = num * inv_dn
+        ct_num = ctm * inv_dn
+        ct_dn = jnp.where(dn_ok, -ctm * t_ad * inv_dn, 0.0)
+        ct_op = _vadd(ct_op, _vscale(nr, -ct_num))
+        ct_ip = _vadd(ct_ip, _vscale(nr, ct_num))
+        ct_dp = _vadd(ct_dp, _vscale(nr, ct_dn))
+        ct_nr = _vadd(_vadd(_vscale(op, -ct_num), _vscale(ip, ct_num)),
+                      _vscale(dp, ct_dn))
+        ct_inv = _vdot(na, ct_nr)
+        ct_nn = jnp.where(nn_ok, ct_inv * (-0.5) * inv * inv * inv, 0.0)
+        ct_na = _vadd(ct_na, _vadd(_vscale(ct_nr, inv),
+                                   _vscale(na, 2.0 * ct_nn)))
+
+    if schema.KIND_BOX in kinds:
+        m = masks[schema.KIND_BOX]
+        ce = jnp.where(m, ct_e, 0.0)
+        cx = jnp.where(m, ct_x, 0.0)
+        mms, nnbs, kkbs, ts_e, ts_x = [], [], [], [], []
+        for k in range(3):
+            dpc = dp[k]
+            z = dpc == 0.0
+            mm = jnp.where(z, 1.0 / EPS, 1.0 / jnp.where(z, 1.0, dpc))
+            nnb = (op[k] - ip[k]) * mm
+            kkb = 0.5 * na[k] * jnp.abs(mm)
+            mms.append(mm)
+            nnbs.append(nnb)
+            kkbs.append(kkb)
+            ts_e.append(-nnb - kkb)
+            ts_x.append(-nnb + kkb)
+        t_lo = jnp.maximum(jnp.maximum(ts_e[0], ts_e[1]), ts_e[2])
+        t_hi = jnp.minimum(jnp.minimum(ts_x[0], ts_x[1]), ts_x[2])
+        taken_e = taken_x = zero > 1.0
+        co, cip, cna, cdp = list(z3), list(z3), list(z3), list(z3)
+        for k in range(3):
+            ak_e = (ts_e[k] == t_lo) & ~taken_e
+            taken_e = taken_e | ak_e
+            ak_x = (ts_x[k] == t_hi) & ~taken_x
+            taken_x = taken_x | ak_x
+            cak_e = jnp.where(ak_e, ce, 0.0)
+            cak_x = jnp.where(ak_x, cx, 0.0)
+            cboth = cak_e + cak_x
+            co[k] = cboth * (-mms[k])
+            cip[k] = cboth * mms[k]
+            cna[k] = (cak_x - cak_e) * (0.5 * jnp.abs(mms[k]))
+            cdp[k] = jnp.where(dp[k] == 0.0, 0.0,
+                               -(cak_e * ts_e[k] + cak_x * ts_x[k])
+                               * mms[k])
+        ct_op = _vadd(ct_op, tuple(co))
+        ct_ip = _vadd(ct_ip, tuple(cip))
+        ct_na = _vadd(ct_na, tuple(cna))
+        ct_dp = _vadd(ct_dp, tuple(cdp))
+
+    def mt(v):  # M^T v
+        return tuple(_att(at, 0 + j) * v[0] + _att(at, 3 + j) * v[1]
+                     + _att(at, 6 + j) * v[2] for j in range(3))
+
+    mt_op = mt(ct_op)
+    d_o = mt_op
+    d_d = mt(ct_dp)
+    d_ip = _vadd(ct_ip, _vsub(ct_op, mt_op))
+    d_at = [ct_op[k] * rel[j] + ct_dp[k] * d[j]
+            for k in range(3) for j in range(3)]
+    d_at += [d_ip[0], d_ip[1], d_ip[2], ct_na[0], ct_na[1], ct_na[2], ct_r]
+    n_cols = (at.shape[0] // _SUBL if not isinstance(at, (tuple, list))
+              else len(at))
+    d_at += [zero] * (n_cols - len(d_at))
+    return d_at, d_o, d_d
+
+
 _WT_FNS: dict = {}
 
 
@@ -1830,7 +1975,8 @@ def _winner_t_pinned(layout, want_exit, at, o, d, row, t_sv, g3=None,
 
 def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
                lok, analytic=True, maps=None, text=None, tmeta=None,
-               tex_sv=None, want_tex=False):
+               tex_sv=None, want_tex=False, same_row=False,
+               choose_sv=None):
     """Sweep-free bounce step from saved residuals (component form).
 
     ``p`` holds the differentiable inputs: the pre-fetched winner/exit
@@ -1849,6 +1995,13 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     under ``jax.vjp``) skips the analytic winner-t reconstruction and
     uses the sweep's ``te_sv``/``tx_sv`` directly — value-identical, and
     no Woop plane rows are needed.
+
+    ``same_row``: no-mesh refractive scenes, where every group is one
+    primitive so the exit winner IS the entry winner (rt.rs:725-772:
+    sphere/plane/box intersect return both bounds of one object) —
+    ``p`` carries no ``atX``; the exit side reads the entry bundle and
+    ``xrow`` is ignored. Under ``jax.vjp`` both sides' cotangents then
+    accumulate into ``atE`` automatically.
     """
     o, d = p["o"], p["d"]
     pwr, A, B = p["pwr"], p["A"], p["B"]
@@ -1895,7 +2048,9 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     refl = _vnorm_safe(_vsub(d, _vscale(nr, 2.0 * _vdot(d, nr))))
 
     if need_exit:
-        atX = p["atX"]
+        atX = p["atE"] if same_row else p["atX"]
+        if same_row:
+            xrow = row
         if analytic:
             tx = _winner_t_pinned(layout, True, atX, o, d, xrow, tx_sv,
                                   p.get("g3x"), p.get("h3x"))
@@ -1932,7 +2087,11 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
         refr = _vnorm_safe(_vadd(_vscale(d, eta),
                                  _vscale(nf, cos * eta + jnp.sqrt(k_safe))))
         refr = _vfinite0(refr)
-        choose = (u[6] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok
+        # ``choose_sv``: backward replays pin the branch to the forward's
+        # saved draw (recomputing could flip near kk == 0 under a
+        # different compilation's fusion)
+        choose = (choose_sv if choose_sv is not None
+                  else (u[6] < jnp.minimum(1.0 - opa_e, 0.85)) & refr_ok)
 
         next_dir = _vwhere(choose, refr, refl)
         from_p = _vwhere(choose, p_x, p_e)
@@ -1979,11 +2138,12 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
     pwr2 = pwr * p["dk"]
     A2 = _vop(jnp.multiply, A, a_f)
     B2 = _vadd(B, _vop(jnp.multiply, A, b_f))
-    # aux (no cotangents; the backward replay drops them): hit-liveness
-    # and the emit draw, for the caller's carry-live policy
-    if want_tex:
-        return o2, d2, pwr2, A2, B2, live_i, b_emit, (tex_e, tex_x)
-    return o2, d2, pwr2, A2, B2, live_i, b_emit
+    # aux (no cotangents; the backward replay drops them): hit-liveness,
+    # the emit draw, saved texels, and the refract-branch draw — for the
+    # caller's carry-live policy and the same_row choose residual
+    aux = {"tex": (tex_e, tex_x) if want_tex else None,
+           "choose": choose if need_exit else None}
+    return o2, d2, pwr2, A2, B2, live_i, b_emit, aux
 
 
 def _norm_bwd(v, ct):
@@ -2449,6 +2609,244 @@ def _step_comp_bwd(layout, need_exit, L, p, u, live, te_sv, tx_sv, row,
     return g
 
 
+def _step_comp_bwd_same(layout, L, p, u, live, te_sv, tx_sv, row, choose,
+                        lok, cts, maps=None, tex_sv=None):
+    """Hand transpose of the same_row step (no-mesh refractive scenes —
+    see :func:`_step_comp`): the exit winner IS the entry winner, so the
+    dual-side chain collapses onto the SELECTED hit. Per lane exactly one
+    side is live (``choose``, saved by the forward as the linearization
+    of the refract draw), both sides read the same attribute bundle, and
+    the selected hit point is ``o + d*where(choose, tx, te)`` — so ONE
+    hit-point/normal chain, ONE material transpose, ONE `_side_bwd` and
+    the merged `_winner_t_bwd_both` replace the entry+exit pair. Per-lane
+    cotangents match the dual chain's bit-for-bit on the live side
+    (identical primals, identical ops); only attribute-column summation
+    order differs. ~40% fewer vector ops than the dual chain on
+    CornellBox-class scenes."""
+    cto2, ctd2, ctp2, ctA2, ctB2 = cts
+    o, d = p["o"], p["d"]
+    pwr, A = p["pwr"], p["A"]
+    atE = p["atE"]
+    hit = te_sv < _BIG * 0.5
+    live_i = live & hit
+    zero = jnp.zeros_like(pwr)
+    z3 = (zero, zero, zero)
+    nch = jnp.logical_not(choose)
+
+    # ---- primal recompute at the SELECTED hit ----
+    t_c = jnp.where(choose, tx_sv, te_sv)
+    tex_c = None
+    if maps and tex_sv is not None:
+        tex_c = []
+        for (s, ve), (_sx, vx) in zip(tex_sv["e"], tex_sv["x"]):
+            if s == 0:
+                tex_c.append((s, tuple(jnp.where(choose, x, e)
+                                       for e, x in zip(ve, vx))))
+            else:
+                tex_c.append((s, jnp.where(choose, vx, ve)))
+    sp = _side_primal(layout, atE, o, d, live_i, t_c, row, maps, tex_c)
+    sp["rowv"], sp["d"] = row, d
+    diel = (sp["met_raw"] == 0.0) & (sp["opa"] != 0.0)
+    u_r = jnp.where(choose, u[3], u[0])
+    cond_c = diel & (u_r < 0.8)
+    rough_c = jnp.where(cond_c, 1.0, sp["rgh"])
+    v_c = _sphere_dir(jnp.where(choose, u[4], u[1]),
+                      jnp.where(choose, u[5], u[2]))
+    w1 = _vadd(sp["n"], _vscale(v_c, rough_c))
+    nrc = _vnorm_safe(w1)
+    dn_r = _vdot(d, nrc)
+    # reflection primals (live on ~choose lanes): w2 = d - 2(d.nr)nr
+    w2 = _vsub(d, _vscale(nrc, 2.0 * dn_r))
+    # refraction primals (live on choose lanes, where nrc == nf);
+    # cos = -(nf.d) is the shared dn_r
+    eta = 1.0 + 0.5 * sp["gls"]
+    cos = -dn_r
+    kk = 1.0 - eta * eta * (1.0 - cos * cos)
+    k_safe = jnp.where(kk >= 0.0, jnp.maximum(kk, 1e-12), 1.0)
+    sq = jnp.sqrt(k_safe)
+    s3 = cos * eta + sq
+    w3 = _vadd(_vscale(d, eta), _vscale(nrc, s3))
+    nn3 = _vnorm_safe(w3)
+
+    norm_c, from_p = sp["n"], sp["p"]
+    alb_c, rgh_c = sp["alb"], sp["rgh"]
+    met_c, emi_c = sp["met"], sp["emi"]
+    b_emit = u[7] < emi_c
+    m_ab = live_i & jnp.logical_not(b_emit)
+    m_em = live_i & b_emit
+
+    # ---- light-loop primals ----
+    lights_pr = []
+    l_col = z3
+    one_mrgh = 1.0 - rgh_c
+    one_mmet = 1.0 - met_c
+    o_col = _vscale(alb_c, one_mmet)
+    for li in range(L):
+        lr = p["lr"][li]
+        is_dir = lr[6] > 0.5
+        lvec = tuple(jnp.where(is_dir, lr[3 + k], lr[k] - from_p[k])
+                     for k in range(3))
+        s_lv = _vdot(lvec, lvec)
+        invl = jax.lax.rsqrt(s_lv)
+        ln = _vscale(lvec, invl)
+        dotln = _vdot(ln, norm_c)
+        diff = jnp.maximum(dotln, 0.0)
+        lrefl = _vsub(ln, _vscale(norm_c, 2.0 * dotln))
+        dl = _vdot(d, lrefl)
+        m = jnp.maximum(dl, 0.0)
+        m2 = m * m
+        m4 = m2 * m2
+        m8 = m4 * m4
+        m16 = m8 * m8
+        s32 = m16 * m16
+        spec = s32 * one_mrgh
+        contrib = tuple((o_col[k] * diff * lr[8 + k] + spec) * lr[7]
+                        for k in range(3))
+        l_col = _vadd(l_col, _vwhere(lok[li], contrib, z3))
+        lights_pr.append((is_dir, lvec, invl, ln, dotln, diff, lrefl, dl,
+                          m, m2, m4, m8, m16, s32, spec, contrib))
+
+    # ---- reverse sweep (fold, as in the dual chain) ----
+    af_in = tuple(pwr * (0.5 + alb_c[k]) for k in range(3))
+    a_f = tuple(jnp.where(live_i, jnp.where(b_emit, 0.0, af_in[k]), 1.0)
+                for k in range(3))
+    b_f = tuple(jnp.where(live_i,
+                          jnp.where(b_emit, alb_c[k], pwr * l_col[k]), 0.0)
+                for k in range(3))
+    g_A = tuple(ctA2[k] * a_f[k] + ctB2[k] * b_f[k] for k in range(3))
+    ct_af = tuple(ctA2[k] * A[k] for k in range(3))
+    ct_bf = tuple(ctB2[k] * A[k] for k in range(3))
+    ct_pwr = ctp2 * p["dk"]
+    g_dk = ctp2 * pwr
+    ct_alb = list(z3)
+    ct_lcol = list(z3)
+    for k in range(3):
+        caf = jnp.where(m_ab, ct_af[k], 0.0)
+        cbf_sh = jnp.where(m_ab, ct_bf[k], 0.0)
+        ct_pwr = ct_pwr + caf * (0.5 + alb_c[k]) + cbf_sh * l_col[k]
+        ct_alb[k] = caf * pwr + jnp.where(m_em, ct_bf[k], 0.0)
+        ct_lcol[k] = cbf_sh * pwr
+    ct_from_p = list(cto2)
+    ct_nd = tuple(cto2[k] * EPS + ctd2[k] for k in range(3))
+
+    # light loop transpose (selected values: no per-side split needed)
+    g_lr = []
+    ct_n = list(z3)
+    ct_rgh = zero
+    ct_met = zero
+    ct_d = list(z3)
+    for li in range(L):
+        lr = p["lr"][li]
+        (is_dir, lvec, invl, ln, dotln, diff, lrefl, dl,
+         m, m2, m4, m8, m16, s32, spec, contrib) = lights_pr[li]
+        glr = [zero] * 11
+        ct_con = tuple(jnp.where(lok[li], ct_lcol[k], 0.0)
+                       for k in range(3))
+        ct_diff = zero
+        ct_spec = zero
+        for k in range(3):
+            glr[7] = glr[7] + ct_con[k] * (o_col[k] * diff * lr[8 + k]
+                                           + spec)
+            clp = ct_con[k] * lr[7]
+            glr[8 + k] = o_col[k] * diff * clp
+            ct_ocol_k = clp * diff * lr[8 + k]
+            ct_alb[k] = ct_alb[k] + ct_ocol_k * one_mmet
+            ct_met = ct_met - ct_ocol_k * alb_c[k]
+            ct_diff = ct_diff + clp * o_col[k] * lr[8 + k]
+            ct_spec = ct_spec + clp
+        ct_rgh = ct_rgh - ct_spec * s32
+        ct_m = ct_spec * one_mrgh * 32.0 * (m16 * m8 * m4 * m2 * m)
+        ct_dl = jnp.where(dl >= 0.0, ct_m, 0.0)
+        for k in range(3):
+            ct_d[k] = ct_d[k] + ct_dl * lrefl[k]
+        ct_lrefl = _vscale(d, ct_dl)
+        ct_ln = list(ct_lrefl)
+        ct_dotln = -2.0 * _vdot(norm_c, ct_lrefl)
+        for k in range(3):
+            ct_n[k] = ct_n[k] - 2.0 * dotln * ct_lrefl[k]
+        ct_dotln = ct_dotln + jnp.where(dotln >= 0.0, ct_diff, 0.0)
+        for k in range(3):
+            ct_ln[k] = ct_ln[k] + ct_dotln * norm_c[k]
+            ct_n[k] = ct_n[k] + ct_dotln * ln[k]
+        t_l = _vdot(lvec, ct_ln)
+        gl = t_l * invl * invl * invl
+        ct_lvec = tuple(invl * ct_ln[k] - gl * lvec[k] for k in range(3))
+        for k in range(3):
+            glr[3 + k] = jnp.where(is_dir, ct_lvec[k], 0.0)
+            glr[k] = jnp.where(is_dir, 0.0, ct_lvec[k])
+            ct_from_p[k] = ct_from_p[k] - jnp.where(is_dir, 0.0,
+                                                    ct_lvec[k])
+        g_lr.append(glr)
+
+    # next_dir = where(choose, refr, refl): split the direction cotangent
+    ct_refl = tuple(jnp.where(nch, c, 0.0) for c in ct_nd)
+    ct_refr = tuple(jnp.where(choose, c, 0.0) for c in ct_nd)
+
+    # refl = norm(w2), w2 = d - 2*(d.nr)*nr   [~choose lanes]
+    ct_w2 = _norm_bwd(w2, ct_refl)
+    t_nr = _vdot(nrc, ct_w2)
+    ct_nr = list(z3)
+    for k in range(3):
+        ct_d[k] = ct_d[k] + ct_w2[k] - 2.0 * t_nr * nrc[k]
+        ct_nr[k] = -2.0 * (d[k] * t_nr + dn_r * ct_w2[k])
+
+    # refr = finite0(norm(w3))   [choose lanes; nrc == nf there]
+    ct_nn3 = tuple(jnp.where(jnp.isfinite(c3), c, 0.0)
+                   for c3, c in zip(nn3, ct_refr))
+    ct_w3 = _norm_bwd(w3, ct_nn3)
+    ct_eta = _vdot(d, ct_w3)
+    ct_s3 = _vdot(nrc, ct_w3)
+    for k in range(3):
+        ct_d[k] = ct_d[k] + eta * ct_w3[k]
+        ct_nr[k] = ct_nr[k] + s3 * ct_w3[k]
+    ct_cos = ct_s3 * eta
+    ct_eta = ct_eta + ct_s3 * cos
+    ct_ksafe = ct_s3 * 0.5 / sq
+    ct_kk = jnp.where(kk >= 1e-12, ct_ksafe, 0.0)
+    ct_eta = ct_eta + ct_kk * (-2.0 * eta * (1.0 - cos * cos))
+    ct_cos = ct_cos + ct_kk * (eta * eta * 2.0 * cos)
+    # cos = -(nrc.d)
+    for k in range(3):
+        ct_nr[k] = ct_nr[k] - ct_cos * d[k]
+        ct_d[k] = ct_d[k] - ct_cos * nrc[k]
+    ct_gls = 0.5 * ct_eta
+
+    # nrc = norm(w1), w1 = n_c + rough_c*v_c  (merged: the reflection and
+    # refraction chains feed disjoint lanes of the ONE sampled direction)
+    ct_w1 = _norm_bwd(w1, ct_nr)
+    ct_rough = _vdot(v_c, ct_w1)
+    for k in range(3):
+        ct_n[k] = ct_n[k] + ct_w1[k]
+    ct_rgh = ct_rgh + jnp.where(cond_c, 0.0, ct_rough)
+
+    # material-base transposes + attribute assembly (one side)
+    NCOL = len(atE) if isinstance(atE, (tuple, list)) else atE.shape[0] // 8
+    d_atE = [zero] * NCOL
+    ct_gls_t = ct_gls
+    if maps:
+        ct_alb, ct_rgh, ct_met, ct_gls_t = _tex_base_bwd(
+            maps, {"tex": tex_c, "at": atE}, ct_alb, ct_rgh, ct_met,
+            ct_gls_t)
+    for j in range(3):
+        d_atE[_C_ALB + j] = d_atE[_C_ALB + j] + ct_alb[j]
+    d_atE[_C_RGH] = d_atE[_C_RGH] + ct_rgh
+    d_atE[_C_MET] = d_atE[_C_MET] + ct_met
+    d_atE[_C_GLS] = d_atE[_C_GLS] + ct_gls_t
+    ct_o_s, ct_d_s, ct_t = _side_bwd(layout, atE, sp, live_i,
+                                     ct_from_p, ct_n, d_atE)
+    ct_te = jnp.where(nch, ct_t, 0.0)
+    ct_tx = jnp.where(choose, ct_t, 0.0)
+    wt_at, wt_o, wt_d = _winner_t_bwd_both(layout, atE, o, d, row,
+                                           ct_te, ct_tx)
+    for j in range(NCOL):
+        d_atE[j] = d_atE[j] + wt_at[j]
+    g_o = tuple(ct_o_s[k] + wt_o[k] for k in range(3))
+    g_d = tuple(ct_d[k] + ct_d_s[k] + wt_d[k] for k in range(3))
+    return {"o": g_o, "d": g_d, "pwr": ct_pwr, "A": g_A,
+            "B": tuple(ctB2), "dk": g_dk, "lr": g_lr,
+            "atE": tuple(d_atE)}
+
+
 # --- backward megakernel ----------------------------------------------------
 
 def _misc_rows(L):
@@ -2458,6 +2856,7 @@ def _misc_rows(L):
 
 
 def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
+    same_row = need_exit and n_tri == 0
     refs = list(refs)
     lights_s = refs.pop(0)
     dk_s = refs.pop(0)
@@ -2467,7 +2866,7 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     if L:
         lok_r = refs.pop(0)
     atE_r = refs.pop(0)
-    if need_exit:
+    if need_exit and not same_row:
         atX_r = refs.pop(0)
     if n_tri:
         g3e_r, h3e_r = refs.pop(0), refs.pop(0)
@@ -2476,7 +2875,7 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     (cto_r, ctd_r, ctp_r, ctA_r, ctB_r,
      do_o, dd_o, dp_o, dA_o, dB_o, datE_o) = refs[:11]
     refs = refs[11:]
-    if need_exit:
+    if need_exit and not same_row:
         datX_o = refs.pop(0)
     if n_tri:
         dg3e_o, dh3e_o = refs.pop(0), refs.pop(0)
@@ -2499,16 +2898,19 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     p = {"o": v3r(o_r), "d": v3r(d_r),
          "pwr": pwr_r[...], "A": v3r(A_r), "B": v3r(B_r),
          "lr": lr, "dk": dk_s[0, 0] * ones, "atE": atE_r[...]}
-    if need_exit:
+    if need_exit and not same_row:
         p["atX"] = atX_r[...]
     if n_tri:
         p["g3e"], p["h3e"] = v3r(g3e_r), h3e_r[...]
         if need_exit:
             p["g3x"], p["h3x"] = v3r(g3x_r), h3x_r[...]
 
+    # same_row: the residual xrow slot carries the saved refract draw
+    choose_sv = (xrow_r[...] > 0.5) if same_row else None
     primal = partial(_step_comp, layout, need_exit, L,
                      u=u, live=live, te_sv=te_sv, tx_sv=tx_r[...],
-                     row=row_r[...], xrow=xrow_r[...], lok=lok)
+                     row=row_r[...], xrow=xrow_r[...], lok=lok,
+                     same_row=same_row, choose_sv=choose_sv)
     _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
     g = vjp((v3r(cto_r), v3r(ctd_r), ctp_r[...],
              v3r(ctA_r), v3r(ctB_r)))[0]
@@ -2522,7 +2924,7 @@ def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
     put3(dA_o, g["A"])
     put3(dB_o, g["B"])
     datE_o[...] = g["atE"]
-    if need_exit:
+    if need_exit and not same_row:
         datX_o[...] = g["atX"]
     if n_tri:
         put3(dg3e_o, g["g3e"])
@@ -2580,9 +2982,10 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
     MR = _misc_rows(L)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
 
+    same_row = need_exit and n_tri == 0
     atE = _fetch_full(attr, row[0])
     args_ext, specs_ext = [], []
-    if need_exit:
+    if need_exit and not same_row:
         atX = _fetch_full(attr, xrow[0])
     if n_tri:
         Pt = ATp.shape[0]
@@ -2627,7 +3030,7 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
         args.append(comp(lok))
     in_specs.append(b(24))
     args.append(comp(atE))
-    if need_exit:
+    if need_exit and not same_row:
         in_specs.append(b(24))
         args.append(comp(atX))
     if n_tri:
@@ -2641,7 +3044,7 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
 
     out_specs = [b(3), b(3), b(1), b(3), b(3), b(24)]
     out_shapes = [shp(3), shp(3), shp(1), shp(3), shp(3), shp(24)]
-    if need_exit:
+    if need_exit and not same_row:
         out_specs.append(b(24))
         out_shapes.append(shp(24))
     if n_tri:
@@ -2671,7 +3074,7 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
     d_atE = rows(outs[5])
     outs = outs[6:]
     d_attr = _scatter_full(row[0], d_atE, P_pad)
-    if need_exit:
+    if need_exit and not same_row:
         d_atX = rows(outs.pop(0))
         d_attr = d_attr + _scatter_full(xrow[0], d_atX, P_pad)
     if n_tri:
@@ -2742,6 +3145,7 @@ def _uncomp_v3(v):
 
 def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
                       maps, *refs):
+    same_row = need_exit and n_tri == 0
     refs = list(refs)
     attr = refs.pop(0)
     if n_tri:
@@ -2852,7 +3256,12 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         p["dk"] = dk_s[0, 0] * ones8
         p["lr"] = [[lights_s[li, j] * ones8 for j in range(11)]
                    for li in range(L)]
-        if need_exit:
+        choose_c = None
+        if same_row:
+            # the xrow residual slot carries the forward's refract draw;
+            # the exit winner IS the entry winner, no second fetch
+            choose_c = _compL(xrow_l) > 0.5
+        elif need_exit:
             ohX = (iota_rows == xrow_i).astype(jnp.float32)
             atX_l = fetch_lane(attr, ohX)
             p["atX"] = tuple(_compL(atX_l[c:c + 1, :])
@@ -2909,18 +3318,26 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
                 # replay's ~3F (primal + mechanical transpose); equality
                 # vs the machine path pinned by
                 # test_hand_bwd_matches_machine
-                g = _step_comp_bwd(layout, need_exit, L, p, u, live,
-                                   _compL(te_l), _compL(tx_l),
-                                   _compL(row_l), _compL(xrow_l), lok,
-                                   (cto, ctd, ctp, ctA, ctB),
-                                   maps=maps, tex_sv=tex_sv)
+                if same_row:
+                    g = _step_comp_bwd_same(
+                        layout, L, p, u, live, _compL(te_l),
+                        _compL(tx_l), _compL(row_l), choose_c, lok,
+                        (cto, ctd, ctp, ctA, ctB),
+                        maps=maps, tex_sv=tex_sv)
+                else:
+                    g = _step_comp_bwd(layout, need_exit, L, p, u, live,
+                                       _compL(te_l), _compL(tx_l),
+                                       _compL(row_l), _compL(xrow_l),
+                                       lok, (cto, ctd, ctp, ctA, ctB),
+                                       maps=maps, tex_sv=tex_sv)
             else:
                 primal = partial(_step_comp, layout, need_exit, L,
                                  u=u, live=live, te_sv=_compL(te_l),
                                  tx_sv=_compL(tx_l), row=_compL(row_l),
                                  xrow=_compL(xrow_l), lok=lok,
                                  analytic="nowt" not in ablate,
-                                 maps=maps, tex_sv=tex_sv)
+                                 maps=maps, tex_sv=tex_sv,
+                                 same_row=same_row, choose_sv=choose_c)
                 _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p)
                 g = vjp((cto, ctd, ctp, ctA, ctB))[0]
 
@@ -2946,7 +3363,7 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
             d_at = jnp.zeros_like(dattr_o)
         else:
             d_at = scat([g["atE"][c] for c in range(NC)], ohE)
-            if need_exit:
+            if need_exit and not same_row:
                 d_at = d_at + scat([g["atX"][c] for c in range(NC)],
                                    ohX)
         dattr_o[...] += d_at

@@ -61,7 +61,32 @@ def scenes():
         "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.6}],
         "sky": {"color": [0.15, 0.2, 0.3], "pwr": 0.5},
     }
-    return {"opaque": opaque, "glass": glass, "textured": textured}
+    # same_row class (no mesh + refraction): every group is one primitive,
+    # so the exit winner IS the entry winner and the kernels take the
+    # merged entry/exit path (pallas_step._step_comp_bwd_same) — the
+    # CornellBox/CornellBox2 production shape
+    glass_flat = {
+        "renderer": [
+            {"type": "sphere", "r": 0.4,
+             "mat": {"glass": 0.08, "opacity": 0.0}},
+            {"type": "box", "sizes": [0.4, 0.5, 0.6], "pos": [-0.6, 0.8, 0],
+             "dir": [0, 0.5, 0.5, 0.1],
+             "mat": {"glass": 0.1, "opacity": 0.3}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.8],
+             "mat": {"rough": 1.0}},
+            {"type": "sphere", "r": 0.3, "pos": [0.8, 0.3, 0.1],
+             "mat": {"rough": 0.6, "emit": 0.4}},
+        ],
+        "light": [{"type": "point", "pos": [0, -1, 1], "pwr": 0.6}],
+        "sky": {"color": [0.2, 0.3, 0.4], "pwr": 0.5},
+    }
+    textured_flat = {
+        "renderer": [r for r in textured["renderer"] if r["type"] != "mesh"],
+        "light": textured["light"],
+        "sky": textured["sky"],
+    }
+    return {"opaque": opaque, "glass": glass, "textured": textured,
+            "glass_flat": glass_flat, "textured_flat": textured_flat}
 
 
 def state(scene, n=256, seed=0):
@@ -78,7 +103,8 @@ def state(scene, n=256, seed=0):
     return (o, d, pwr, live), A, B, u, u_emit
 
 
-@pytest.mark.parametrize("which", ["opaque", "glass", "textured"])
+@pytest.mark.parametrize("which", ["opaque", "glass", "textured",
+                                   "glass_flat", "textured_flat"])
 def test_step_kernel_matches_reference(which, monkeypatch):
     monkeypatch.setenv("MRT_STEP", "1")
     monkeypatch.setenv("MRT_HIT3", "0")   # reference side stays dense
@@ -159,7 +185,8 @@ def test_step_kernel_vjp_matches_reference(monkeypatch):
     np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("which", ["glass", "textured"])
+@pytest.mark.parametrize("which", ["glass", "textured", "glass_flat",
+                                   "textured_flat"])
 def test_step_kernel_full_trace_matches(which, monkeypatch):
     from micro_raytracer_tpu.models.tracer import trace_radiance
 

@@ -49,7 +49,7 @@ def _step_grads(scene, ray, A, B, u, u_emit, use_kernel, ct):
     return vjp(ct)
 
 
-@pytest.mark.parametrize("which", ["opaque", "glass"])
+@pytest.mark.parametrize("which", ["opaque", "glass", "glass_flat"])
 def test_step_bwd_kernel_matches_reference(which, monkeypatch):
     monkeypatch.setenv("MRT_STEP", "1")
     monkeypatch.setenv("MRT_HIT3", "0")   # reference side stays dense
@@ -99,7 +99,8 @@ def test_step_bwd_nontrivial_gradients(monkeypatch):
         assert np.abs(np.asarray(leaves[k])).sum() > 0, f"{k} grad all-zero"
 
 
-@pytest.mark.parametrize("which", ["glass", "textured"])
+@pytest.mark.parametrize("which", ["glass", "textured", "glass_flat",
+                                   "textured_flat"])
 def test_full_trace_grad_matches_jnp_path(which, monkeypatch):
     """grad of the full fused trace through the megakernel == jnp path.
 
@@ -133,7 +134,8 @@ def test_full_trace_grad_matches_jnp_path(which, monkeypatch):
                                    rtol=1e-3, atol=1e-6)
 
 
-@pytest.mark.parametrize("which", ["opaque", "glass", "textured"])
+@pytest.mark.parametrize("which", ["opaque", "glass", "textured",
+                                   "glass_flat", "textured_flat"])
 def test_hand_bwd_matches_machine(which, monkeypatch):
     """The hand-derived step transpose (pallas_step._step_comp_bwd) ==
     jax.vjp of the replay, through the full trace kernel (interpret).
