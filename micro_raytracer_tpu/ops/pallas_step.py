@@ -85,8 +85,10 @@ _TILE_FWD = int(os.environ.get("MRT_STEP_RT", "512"))
 # per-step backward (scan path, comp bundles relayouted OUTSIDE the
 # kernel): VMEM-bound at wide tiles, keeps the tuned 1024
 _TILE_BWD = int(os.environ.get("MRT_STEP_BWD_RT", "1024"))
-# whole-trace backward (in-kernel relayout, (RT/128, 128) blocks)
-_TILE_TBWD = int(os.environ.get("MRT_TRACE_BWD_RT", "8192"))
+# whole-trace backward (in-kernel relayout, (RT/128, 128) blocks): 16384
+# compiles since the same_row merge shrank the kernel (it failed at 8192's
+# round-3 body) and measures 2.32 -> 2.15 ms/sample on the headline
+_TILE_TBWD = int(os.environ.get("MRT_TRACE_BWD_RT", "16384"))
 _TILE_PAD = max(_TILE_FWD, _TILE_BWD)
 
 
@@ -118,10 +120,13 @@ def _fwd_tile_want(layout, tex):
     with the tile; Mesh fails to fit beyond it), and textured scenes too
     (the texel select's cross-sublane reduce result cannot shape-cast to
     component form above one native vreg — Mosaic layout limitation).
-    ``MRT_STEP_RT`` overrides for experiments."""
+    ``MRT_STEP_RT`` overrides for experiments. The 16384 want is really
+    "as wide as `_pick_tile`'s dense-rows VMEM budget allows": CornellBox
+    (16 rows) runs at exactly 16384 and measured 1.10 -> 0.78 ms/sample
+    inference there; wider wants clamp back to the same tile."""
     if "MRT_STEP_RT" in os.environ:
         return _TILE_FWD
-    return 1024 if (layout[2] or tex is not None) else 8192
+    return 1024 if (layout[2] or tex is not None) else 16384
 
 
 def available() -> bool:
