@@ -100,14 +100,23 @@ def main(argv=None) -> int:
     lok = [blk() > 0.5 for _ in range(L)]
     cts = (v3(), v3(), blk(), v3(), v3())
 
+    same_row = need_exit and n_tri == 0
+
     def hand(p_in, cts):
+        if same_row:
+            p2 = {k: v for k, v in p_in.items() if k != "atX"}
+            return ps._step_comp_bwd_same(layout, L, p2, u, live, te_sv,
+                                          tx_sv, rowv, live, lok, cts)
         return ps._step_comp_bwd(layout, need_exit, L, p_in, u, live,
                                  te_sv, tx_sv, rowv, rowv, lok, cts)
 
     def machine(p_in, cts):
+        if same_row:
+            p_in = {k: v for k, v in p_in.items() if k != "atX"}
         primal = partial(ps._step_comp, layout, need_exit, L,
                          u=u, live=live, te_sv=te_sv, tx_sv=tx_sv,
-                         row=rowv, xrow=rowv, lok=lok)
+                         row=rowv, xrow=rowv, lok=lok, same_row=same_row,
+                         choose_sv=live if same_row else None)
         _, vjp = jax.vjp(lambda pp: primal(pp)[:5], p_in)
         return vjp(cts)[0]
 
