@@ -3408,7 +3408,11 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     MR = _misc_rows(L)
     CR = _res_rows(L, need_exit, maps)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
-    RT = _pick_tile(_TILE_TBWD, Rp)
+    # 16384 lanes fit only the lean bodies: textured replays carry the
+    # atlas split blocks + dual-side texel chains and overflow scoped
+    # VMEM at 16384 (dof: 17.1M vs the 16M limit) — keep them at 8192
+    want = min(_TILE_TBWD, 8192) if maps else _TILE_TBWD
+    RT = _pick_tile(want, Rp)
     # the in-kernel winner fetch/scatter keeps ~(rows, RT) f32 one-hot
     # operands (attr + tri-plane tables, entry and exit sides) on the
     # scoped-VMEM stack: wide tables shrink the lane tile instead of

@@ -12,6 +12,14 @@ Usage:
   python tools/grad_check.py [--platform cpu|env] [--scene CornellBox]
                              [--chunk 131072] [--samples 4]
 Prints JSON lines: one per leaf (max abs/rel diff), one timing summary.
+
+Note on CornellBox's zero leaves (inst_pos/mat_rough/...): with zero
+analytic lights and a black sky, radiance is a sum of albedo/emission
+products — the fold coefficients (rt.rs:966-992) carry no continuous
+dependence on geometry, so position/rotation/rough gradients are
+EXACTLY zero in both paths (which object a ray hits is discrete).
+Lit-scene coverage for those leaves lives in the CPU suite
+(test_pallas_step_grad, point+dir lights) and in --scene Default/dof.
 """
 
 from __future__ import annotations
