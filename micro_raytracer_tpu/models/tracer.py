@@ -20,6 +20,8 @@ carry gradients — the standard detached-control estimator.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -174,6 +176,35 @@ def _compact_perm(live_row):
     drow_off = jnp.cumsum(drow_n[:, 0]) - drow_n[:, 0]
     pos = jnp.where(a2, row_off[:, None] + ic,
                     na + drow_off[:, None] + dic)
+    return jnp.zeros((Rp,), jnp.int32).at[pos.reshape(-1)].set(
+        jnp.arange(Rp, dtype=jnp.int32))
+
+
+def _keyed_perm(key_row, n_keys):
+    """Stable ascending partition of a (Rp,) small-int key row — the
+    counting-sort generalization of :func:`_compact_perm` (which is the
+    2-key case), one masked two-level prefix sum per key value. Used by
+    the octant-sorted compaction (``MRT_COMPACT_KEY=oct``): sorting live
+    lanes by direction octant at a cut re-coheres diffuse wavefronts so
+    the next segment's tile-uniform slab culling can fire, at the cost
+    of ``n_keys`` prefix passes instead of one."""
+    Rp = key_row.shape[0]
+    T = 512
+    if Rp % T:                                 # tiny test batches
+        T = 128 if Rp % 128 == 0 else 1
+    k2 = key_row.reshape(-1, T)
+    tri = jnp.triu(jnp.ones((T, T), jnp.float32))
+    pos = jnp.zeros(k2.shape, jnp.int32)
+    base = jnp.int32(0)
+    for k in range(n_keys):
+        a2 = k2 == k
+        af = a2.astype(jnp.float32)
+        ic = jax.lax.stop_gradient(jax.lax.dot(af, tri)).astype(jnp.int32) \
+            - a2.astype(jnp.int32)
+        row_n = ic[:, -1:] + a2[:, -1:].astype(jnp.int32)
+        row_off = jnp.cumsum(row_n[:, 0]) - row_n[:, 0]
+        pos = jnp.where(a2, base + row_off[:, None] + ic, pos)
+        base = base + row_off[-1] + row_n[-1, 0]
     return jnp.zeros((Rp,), jnp.int32).at[pos.reshape(-1)].set(
         jnp.arange(Rp, dtype=jnp.int32))
 
@@ -478,7 +509,16 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                     if s0 == 0:
                         flT = fl_seg          # ray order: seg 1 unpermuted
                     if s1 < steps:
-                        perm = _compact_perm(cout[7])
+                        if os.environ.get("MRT_COMPACT_KEY", "") == "oct":
+                            # live lanes sorted by direction octant
+                            # (dead last): re-coheres diffuse wavefronts
+                            # for the next segment's slab culling
+                            okey = ((cout[3] > 0) + (cout[4] > 0) * 2
+                                    + (cout[5] > 0) * 4).astype(jnp.int32)
+                            key = jnp.where(cout[7] > 0.5, okey, 8)
+                            perm = _keyed_perm(key, 9)
+                        else:
+                            perm = _compact_perm(cout[7])
                         payload = jnp.concatenate(
                             [cout, ridf, u_rem[(s1 - base) * nu:]], axis=0)
                         payload = payload[:, perm]

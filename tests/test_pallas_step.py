@@ -255,6 +255,11 @@ def test_compaction_radiance_bitwise_identical(monkeypatch):
     comp = run()
     assert np.asarray(base).max() > 0  # scene actually renders something
     np.testing.assert_array_equal(comp, base)
+    # any permutation keeps radiance bitwise (ids ride the carry):
+    # the octant-sorted variant too
+    monkeypatch.setenv("MRT_COMPACT_KEY", "oct")
+    octr = run()
+    np.testing.assert_array_equal(octr, base)
 
 
 def test_compaction_forced_on_spheres_bitwise_identical(monkeypatch):
