@@ -92,6 +92,17 @@ _TILE_TBWD = int(os.environ.get("MRT_TRACE_BWD_RT", "16384"))
 _TILE_PAD = max(_TILE_FWD, _TILE_BWD)
 
 
+def _cparams():
+    """Per-kernel Mosaic compiler params: ``MRT_VMEM_LIMIT`` (bytes)
+    raises the 16 MB scoped-VMEM ceiling for wide-tile experiments —
+    per-kernel via pallas, so it needs no backend flags (the remote
+    compile helper ignores client XLA_FLAGS)."""
+    v = os.environ.get("MRT_VMEM_LIMIT", "")
+    if not v:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(v))
+
+
 def _pick_tile(want, Rp, dense_rows=0):
     """Largest lane tile <= `want` dividing Rp (Rp is always a multiple of
     128 via `lane_pad`, so small test batches don't pay full-tile padding).
@@ -103,8 +114,12 @@ def _pick_tile(want, Rp, dense_rows=0):
     sweep working set stays under ~12 MB. Triangles don't count: their
     sweep is super-block-tiled (pallas_tri) and never materializes
     (P_tri, RT)."""
+    budget = 12 * 2**20
+    v = os.environ.get("MRT_VMEM_LIMIT", "")
+    if v:
+        budget = int(int(v) * 0.75)
     t = want
-    while t > 128 and dense_rows * t * 40 > 12 * 2**20:
+    while t > 128 and dense_rows * t * 40 > budget:
         t //= 2
     while Rp % t:
         t //= 2
@@ -1041,6 +1056,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *at2_args,
       *tex_args, lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8)
     if not train:
@@ -1264,6 +1280,7 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         scratch_shapes=[pltpu.VMEM((14, RT), jnp.float32),
                         pltpu.VMEM((scratch_rows, RT), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(fr, ipos, pa, pr, valid, gid, AT, HT, thr, *tbb_args, attr, *at2_args,
       *tex_args, lights, dk, *ray_args, u8s)
     return outs
@@ -3069,6 +3086,7 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(*args))
 
     def rows(x):
@@ -3411,7 +3429,11 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     # 16384 lanes fit only the lean bodies: textured replays carry the
     # atlas split blocks + dual-side texel chains and overflow scoped
     # VMEM at 16384 (dof: 17.1M vs the 16M limit) — keep them at 8192
-    want = min(_TILE_TBWD, 8192) if maps else _TILE_TBWD
+    # unless MRT_TRACE_BWD_RT explicitly overrides (experiments with a
+    # raised --xla_tpu_scoped_vmem_limit_kib)
+    want = (min(_TILE_TBWD, 8192)
+            if maps and "MRT_TRACE_BWD_RT" not in os.environ
+            else _TILE_TBWD)
     RT = _pick_tile(want, Rp)
     # the in-kernel winner fetch/scatter keeps ~(rows, RT) f32 one-hot
     # operands (attr + tri-plane tables, entry and exit sides) on the
@@ -3474,6 +3496,7 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((10 * G, WT), f32)],
         interpret=_interpret(),
+        compiler_params=_cparams(),
     )(*args))
 
     d_oT, d_dT, d_attr_t = outs[:3]
