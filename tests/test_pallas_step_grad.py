@@ -167,3 +167,41 @@ def test_hand_bwd_matches_machine(which, monkeypatch):
     for r, k in zip(g_m, g_h):
         np.testing.assert_allclose(np.asarray(k), np.asarray(r),
                                    rtol=2e-4, atol=1e-7)
+
+
+def test_winner_t_bwd_both_matches_two_sides():
+    """The merged entry+exit winner-t transpose (same_row scenes) ==
+    the sum of the two single-side hand transposes, which share every
+    primal. Exact equality is not required (the merged form factors
+    shared subexpressions), but agreement must be tight."""
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["glass_flat"]))
+    layout = pallas_step._seg_layout(scene.kind_counts)
+    rng = np.random.default_rng(11)
+    W = (8, 16)
+    blk = lambda: jnp.asarray(rng.uniform(-0.9, 0.9, W), jnp.float32)
+    v3 = lambda: (blk(), blk(), blk())
+    at = tuple(jnp.asarray(rng.uniform(0.1, 0.9, W), jnp.float32)
+               for _ in range(24))
+    o, d = v3(), v3()
+    row = jnp.asarray(
+        rng.integers(0, scene.n_prims, W).astype(np.float32))
+    ct_e, ct_x = blk(), blk()
+
+    d_at_m, d_o_m, d_d_m = pallas_step._winner_t_bwd_both(
+        layout, at, o, d, row, ct_e, ct_x)
+    d_at_e, d_o_e, d_d_e, _, _ = pallas_step._winner_t_bwd_math(
+        layout, False, at, o, d, row, ct_e, None, None)
+    d_at_x, d_o_x, d_d_x, _, _ = pallas_step._winner_t_bwd_math(
+        layout, True, at, o, d, row, ct_x, None, None)
+
+    for j, (m, e, x) in enumerate(zip(d_at_m, d_at_e, d_at_x)):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(e + x),
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=f"d_at col {j}")
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(d_o_m[k]), np.asarray(d_o_e[k] + d_o_x[k]),
+            rtol=2e-5, atol=1e-6, err_msg=f"d_o[{k}]")
+        np.testing.assert_allclose(
+            np.asarray(d_d_m[k]), np.asarray(d_d_e[k] + d_d_x[k]),
+            rtol=2e-5, atol=1e-6, err_msg=f"d_d[{k}]")
