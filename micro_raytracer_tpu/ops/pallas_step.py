@@ -103,7 +103,7 @@ def _cparams():
     return pltpu.CompilerParams(vmem_limit_bytes=int(v))
 
 
-def _pick_tile(want, Rp, dense_rows=0):
+def _pick_tile(want, Rp, dense_rows=0, tex_cols=0):
     """Largest lane tile <= `want` dividing Rp (Rp is always a multiple of
     128 via `lane_pad`, so small test batches don't pay full-tile padding).
 
@@ -120,6 +120,13 @@ def _pick_tile(want, Rp, dense_rows=0):
         budget = int(int(v) * 0.75)
     t = want
     while t > 128 and dense_rows * t * 40 > budget:
+        t //= 2
+    # texel-fetch working set (block one-hot (Thp, RT) + sublane select
+    # (128, RT) + channel blocks (384, RT)) scales with the tile; the
+    # 24 MB bound is calibrated on the measured-good dof point
+    # (Thp=128 @ 8192 lanes) — bigger atlases step down, floor 1024
+    # (the pre-round-4 textured tile)
+    while t > 1024 and tex_cols and (tex_cols + 512) * 4 * t > 24 * 2**20:
         t //= 2
     while Rp % t:
         t //= 2
@@ -138,7 +145,13 @@ def _fwd_tile_want(layout, tex):
     ``MRT_STEP_RT`` overrides for experiments. The 16384 want is really
     "as wide as `_pick_tile`'s dense-rows VMEM budget allows": CornellBox
     (16 rows) runs at exactly 16384 and measured 1.10 -> 0.78 ms/sample
-    inference there; wider wants clamp back to the same tile."""
+    inference there; wider wants clamp back to the same tile. Textured
+    tiles >1024 COMPILE since the texel-fetch layout legalization
+    (`_tex_sample_comp.recomp`) but measure SLOWER (dof inference 45.4M
+    at 1024 vs 40.4M at 8192, careful slopes; train OOMs at 8192 and
+    runs 28-29M at 4096/8192+raised-limit vs ~31M at 1024) — the
+    (Thp + 128 + 384, RT) texel one-hot working set grows with the tile
+    and beats the grid-program savings, so textured stays 1024."""
     if "MRT_STEP_RT" in os.environ:
         return _TILE_FWD
     return 1024 if (layout[2] or tex is not None) else 16384
@@ -1009,7 +1022,8 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1])
+    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1],
+                    tex_cols=tex[0].shape[1] if tex is not None else 0)
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
     NU = n_uni(need_exit)
@@ -1230,7 +1244,8 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1])
+    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1],
+                    tex_cols=tex[0].shape[1] if tex is not None else 0)
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
     NU = n_uni(need_exit)
@@ -1528,8 +1543,21 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
     # re-comp to the CALLER's component block shape: the fwd tail uses
     # (8, RT/8) blocks, the backward kernel (RT/128, 128) — both plain
     # reshapes of the (1, RT) lane row, so match the input's shape
-    ch = [jnp.reshape(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
-                              keepdims=True), t.shape)
+    def recomp(row):
+        # Mosaic cannot shape-cast a cross-sublane-reduce result beyond
+        # one native vreg ((1, RT>1024) -> blocks fails layout
+        # inference); a VMEM scratch round-trip materializes the row in
+        # the canonical layout first, unlocking wide tiles for textured
+        # scenes. Kept off the known-good 1024 path.
+        if RT > 8 * 128 and not _interpret():
+            def scoped(tmp):
+                tmp[...] = row
+                return tmp[...]
+            row = pl.run_scoped(scoped, pltpu.VMEM(row.shape, row.dtype))
+        return jnp.reshape(row, t.shape)
+
+    ch = [recomp(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
+                         keepdims=True))
           for c in range(3 if rgb else 1)]
     return tuple(ch) if rgb else ch[0]
 
