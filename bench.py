@@ -9,8 +9,11 @@ chip ("rays" = primary paths, one per pixel-sample, matching the reference's
 unit of work — /root/reference/src/sampler.rs:28-78; each path carries
 bounce+1 closest-hit sweeps plus per-light shadow sweeps). ``configs``
 reports forward AND forward+backward throughput for every BASELINE.json
-config (Default/dof/CornellBox/CornellBox2/Mesh) so scene-class cliffs —
-including training-path fallbacks — are visible to the driver.
+config (Default/dof/CornellBox/CornellBox2/Mesh) plus the two known-cliff
+scene classes — Instance.json (1000 spheres: wide attribute tables) and
+Minecraft.json (instanced textured boxes: small-chunk dispatch) — so
+scene-class cliffs, including training-path fallbacks, are visible to the
+driver.
 
 ``util_pct`` (per config) is an honest utilization number replacing the
 old ``roofline_pct`` (XLA's byte-count cost analysis cannot see inside a
@@ -63,8 +66,10 @@ EXAMPLES = "/root/reference/example"
 # headline's per-sample time ~10% (measured: fwdbwd slope 4.02 ms/sample
 # when first vs 4.37 ms after Default+dof). The JSON reports configs in
 # canonical order regardless.
-CONFIGS = ["CornellBox", "Default", "dof", "CornellBox2", "Mesh"]
-REPORT_ORDER = ["Default", "dof", "CornellBox", "CornellBox2", "Mesh"]
+CONFIGS = ["CornellBox", "Default", "dof", "CornellBox2", "Mesh",
+           "Instance", "Minecraft"]
+REPORT_ORDER = ["Default", "dof", "CornellBox", "CornellBox2", "Mesh",
+                "Instance", "Minecraft"]
 if os.environ.get("MRT_BENCH_CONFIGS"):  # dev subset, e.g. "CornellBox"
     CONFIGS = [c for c in CONFIGS
                if c in os.environ["MRT_BENCH_CONFIGS"].split(",")]

@@ -237,6 +237,12 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
         kind = schema._KIND_NAMES[obj.kind]
         if obj.kind == "mesh":
             tris = obj.geometry["mesh"]  # (T,3,3)
+        # INVARIANT: one group_id per (object, instance), and only MESH
+        # instances push more than one primitive row per group — the
+        # pallas_step same_row fast paths (merged entry/exit backward,
+        # exit-fetch elision) prove xrow == row from "no triangle segment
+        # implies every group is a single row". Any future multi-row
+        # non-mesh grouping must revisit pallas_step._same_row.
         for ipos, idir in obj.instances:
             gid = group_counter
             group_counter += 1

@@ -435,6 +435,11 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
     decay = 1.0 - jnp.minimum(loss, 1.0)
     steps = bounce + 1
     resort = _resort_on(scene)
+    # read once at function entry, like every MRT_* knob that selects an
+    # ALGORITHM: all of them are trace-time constants, so flipping the
+    # env after a compile for identical shapes keeps the cached program
+    # (retracing/eager callers — the tests — see the new value)
+    compact_key = os.environ.get("MRT_COMPACT_KEY", "")
 
     from ..ops import pallas_step
 
@@ -509,7 +514,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                     if s0 == 0:
                         flT = fl_seg          # ray order: seg 1 unpermuted
                     if s1 < steps:
-                        if os.environ.get("MRT_COMPACT_KEY", "") == "oct":
+                        if compact_key == "oct":
                             # live lanes sorted by direction octant
                             # (dead last): re-coheres diffuse wavefronts
                             # for the next segment's slab culling

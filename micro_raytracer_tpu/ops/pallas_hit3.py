@@ -264,8 +264,13 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
 
         n_blocks = (n_tri + PRIM_BLOCK - 1) // PRIM_BLOCK
         n_cb = (n_tri + _CB - 1) // _CB
+        # MRT_TRI_NOCULL=1: validation knob (tools/golden_check.py) — the
+        # compacted-culling deviation (phantom |det|>=E hits outside their
+        # block AABB get dropped) is measured by rendering with and
+        # without culling in the same run and gating the diff
         cull = (tbb is not None and not need_exit
-                and 1 < n_cb <= _CAND_MAX)
+                and 1 < n_cb <= _CAND_MAX
+                and os.environ.get("MRT_TRI_NOCULL", "0") != "1")
         if not cull:
             carry = jax.lax.fori_loop(0, n_blocks, tri_body, carry)
         else:
@@ -423,6 +428,34 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                 body = gated_body if _MID_GATE else cb_body
 
                 if not _NEAR_SORT:
+                    if occl and _OCCL_EXIT:
+                        # early-exit any-hit: the caller only tests
+                        # hit/no-hit, so once EVERY live lane is occluded
+                        # (t_best < BIG/2) the remaining candidate blocks
+                        # cannot change the answer — stop the sweep. The
+                        # per-iteration cost is one vector reduce + scalar
+                        # compare, far below a (CB, RT) block sweep; with
+                        # shadow hit fractions ~0.76 (Mesh.json measured)
+                        # most tiles stop after the first block or two.
+                        # Blocks listed nearest-tkey-first would stop even
+                        # sooner, but the insertion sort measured a net
+                        # loss (_NEAR_SORT) — compaction order (Morton)
+                        # already puts the surface's own block early.
+                        def occ_cond(st):
+                            j, c = st
+                            t_best = c[0]
+                            open_ = jnp.where(
+                                live_m & (t_best >= _BIG * 0.5), 1.0, 0.0)
+                            if RT % 1024 == 0:  # full-register reduce
+                                open_ = jnp.reshape(open_, (8, RT // 8))
+                            return (j < cnt) & (jnp.max(open_) > 0.0)
+
+                        def occ_body(st):
+                            j, c = st
+                            return j + 1, body(cand_ref[j], c)
+
+                        return jax.lax.while_loop(
+                            occ_cond, occ_body, (jnp.int32(0), carry))[1]
                     return jax.lax.fori_loop(
                         0, cnt, lambda j, c: body(cand_ref[j], c), carry)
 
@@ -550,6 +583,13 @@ _NEAR_SORT = os.environ.get("MRT_TRI_NEAR", "0") == "1"
 # listed block costs more than the skipped sweeps recover, the same
 # failure mode as every per-block lax.cond scheme before it (BASELINE.md)
 _MID_GATE = os.environ.get("MRT_TRI_GATE", "0") == "1"
+# early-exit while loop for occlusion (shadow) candidate sweeps: stop as
+# soon as every live lane is occluded. Unlike _NEAR_SORT / _MID_GATE
+# (both net losses), the exit test is one vector reduce per iteration
+# and fires on the dominant shadow cost of triangle scenes (5.4 of
+# 16.6 ms/sample on Mesh.json, BASELINE.md round 4). Default on;
+# MRT_TRI_OCCL_EXIT=0 reverts to the full candidate loop.
+_OCCL_EXIT = os.environ.get("MRT_TRI_OCCL_EXIT", "1") == "1"
 
 
 def _tri_superbounds(scene, frames):

@@ -92,15 +92,48 @@ _TILE_TBWD = int(os.environ.get("MRT_TRACE_BWD_RT", "16384"))
 _TILE_PAD = max(_TILE_FWD, _TILE_BWD)
 
 
+def _vmem_limit_bytes():
+    """Parsed ``MRT_VMEM_LIMIT`` (bytes) or None. The ONE place the env
+    var is read: it serves double duty as the pallas
+    ``CompilerParams.vmem_limit_bytes`` override (:func:`_cparams`) and,
+    at 75%, as :func:`_pick_tile`'s dense-rows working-set budget — the
+    two must move together or wide-tile experiments clamp inconsistently.
+    """
+    v = os.environ.get("MRT_VMEM_LIMIT", "")
+    if not v:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(
+            f"MRT_VMEM_LIMIT must be an integer byte count, got {v!r}")
+
+
+def _same_row(layout, need_exit):
+    """True when the exit winner row provably equals the entry winner row
+    on every lane: refractive scenes with no triangle segment.
+
+    The scene compiler assigns one ``group_id`` per (object, instance)
+    and only MESH instances emit more than one primitive row per group
+    (compiler.py ``gid = group_counter`` loop), so with no triangles every
+    group is a single row and the group-exit max-reduction can only
+    return the entry winner. The forward fetch elision, the merged
+    entry/exit backward (:func:`_step_comp_bwd_same`), and the residual
+    xrow slot reuse (it carries the refract draw instead) ALL rest on
+    this — any future multi-row non-mesh grouping must revisit every
+    caller of this helper."""
+    return need_exit and layout[2] == 0
+
+
 def _cparams():
     """Per-kernel Mosaic compiler params: ``MRT_VMEM_LIMIT`` (bytes)
     raises the 16 MB scoped-VMEM ceiling for wide-tile experiments —
     per-kernel via pallas, so it needs no backend flags (the remote
     compile helper ignores client XLA_FLAGS)."""
-    v = os.environ.get("MRT_VMEM_LIMIT", "")
-    if not v:
+    v = _vmem_limit_bytes()
+    if v is None:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=int(v))
+    return pltpu.CompilerParams(vmem_limit_bytes=v)
 
 
 def _pick_tile(want, Rp, dense_rows=0, tex_cols=0):
@@ -115,9 +148,9 @@ def _pick_tile(want, Rp, dense_rows=0, tex_cols=0):
     sweep is super-block-tiled (pallas_tri) and never materializes
     (P_tri, RT)."""
     budget = 12 * 2**20
-    v = os.environ.get("MRT_VMEM_LIMIT", "")
-    if v:
-        budget = int(int(v) * 0.75)
+    v = _vmem_limit_bytes()
+    if v is not None:
+        budget = int(v * 0.75)
     t = want
     while t > 128 and dense_rows * t * 40 > budget:
         t //= 2
@@ -759,14 +792,13 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
                  xrow if need_exit else row,
                  [lk.astype(jnp.float32) for lk in light_ok], []]
 
-    # no-mesh refractive scenes: every group is ONE primitive, so the
-    # exit winner is the entry winner (xrow == row always) — skip the
-    # exit-side one-hot fetch and reuse the entry bundle (bit-identical:
-    # the elided fetch would return the same rows). The residual xrow
-    # slot then carries the refract-branch draw instead (the backward's
+    # no-mesh refractive scenes (see _same_row): skip the exit-side
+    # one-hot fetch and reuse the entry bundle (bit-identical: the
+    # elided fetch would return the same rows). The residual xrow slot
+    # then carries the refract-branch draw instead (the backward's
     # linearization of `choose` — recomputing it in the other kernel
     # could flip near kk == 0 under different fusion).
-    same_row = need_exit and layout[2] == 0
+    same_row = _same_row(layout, need_exit)
     atX = atE if same_row else (fetch(xrow) if need_exit else None)
 
     if _comp_fwd_on() and (RT % (_SUBL * 128) == 0 or _interpret()):
@@ -1968,9 +2000,12 @@ def _winner_t_bwd_both(layout, at, o, d, row, ct_e, ct_x):
     d_at = [ct_op[k] * rel[j] + ct_dp[k] * d[j]
             for k in range(3) for j in range(3)]
     d_at += [d_ip[0], d_ip[1], d_ip[2], ct_na[0], ct_na[1], ct_na[2], ct_r]
-    n_cols = (at.shape[0] // _SUBL if not isinstance(at, (tuple, list))
-              else len(at))
-    d_at += [zero] * (n_cols - len(d_at))
+    # tuple-form only: unlike _winner_t_bwd_math this function never
+    # re-concatenates d_at into a bundled (C*8, W) container, so a
+    # bundled-array `at` would silently return a mismatched d_at list
+    assert isinstance(at, (tuple, list)), \
+        "_winner_t_bwd_both takes tuple-form attributes"
+    d_at += [zero] * (len(at) - len(d_at))
     return d_at, d_o, d_d
 
 
@@ -2906,7 +2941,7 @@ def _misc_rows(L):
 
 
 def _bwd_kernel(layout, need_exit, L, n_tri, *refs):
-    same_row = need_exit and n_tri == 0
+    same_row = _same_row(layout, need_exit)
     refs = list(refs)
     lights_s = refs.pop(0)
     dk_s = refs.pop(0)
@@ -3032,7 +3067,7 @@ def _call_step_bwd(layout, need_exit, L, AT, HT, attr, lights, dk,
     MR = _misc_rows(L)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
 
-    same_row = need_exit and n_tri == 0
+    same_row = _same_row(layout, need_exit)
     atE = _fetch_full(attr, row[0])
     args_ext, specs_ext = [], []
     if need_exit and not same_row:
@@ -3196,7 +3231,7 @@ def _uncomp_v3(v):
 
 def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
                       maps, *refs):
-    same_row = need_exit and n_tri == 0
+    same_row = _same_row(layout, need_exit)
     refs = list(refs)
     attr = refs.pop(0)
     if n_tri:

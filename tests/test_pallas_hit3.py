@@ -146,3 +146,52 @@ def test_hit3_tri_culling_matches_dense(monkeypatch):
     np.testing.assert_allclose(np.asarray(got.t_entry)[h],
                                np.asarray(ref.t_entry)[h], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_occl_early_exit_and_nocull_match(monkeypatch):
+    """The shadow-sweep early exit (MRT_TRI_OCCL_EXIT) stops the candidate
+    loop once every live lane is occluded — it may only SKIP work, never
+    change which live lane counts as occluded, so radiance through the
+    step megakernel must be bitwise identical with it on and off. The
+    same scene with culling disabled entirely (MRT_TRI_NOCULL, the
+    golden_check validation knob) must agree too: this mesh has no
+    |det|>=E phantom rows, so dropping none is observable."""
+    from micro_raytracer_tpu.models.compiler import compile_camera
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    rng = np.random.default_rng(11)
+    tris = []
+    for c in ([-1.5, 1.0, 0.0], [1.5, 1.5, 0.3], [0.0, 2.5, -0.3]):
+        base = rng.uniform(-0.4, 0.4, (70, 1, 3)) + np.asarray(c)[None, None]
+        tris.append(base + rng.uniform(-0.15, 0.15, (70, 3, 3)))
+    tris = np.concatenate(tris).astype(np.float32)      # 210 tris, n_cb > 1
+    scene = compile_scene(schema.SceneConfig.from_json({
+        "renderer": [
+            {"type": "mesh", "mesh": tris.tolist(), "mat": {"rough": 1.0}},
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -1.2],
+             "mat": {"rough": 1.0}},
+        ],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.8], "pwr": 0.7}],
+        "sky": {"color": [0.2, 0.25, 0.3], "pwr": 0.4},
+    }))
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2.5, 0]}))
+    xs, ys = np.meshgrid(np.arange(6, 58, 4), np.arange(6, 58, 4))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "1")
+
+    def run():
+        return np.asarray(trace_radiance(scene, cam, (64, 64), 4,
+                                         jnp.float32(0.15), coords, key,
+                                         inference=True))
+
+    monkeypatch.setenv("MRT_TRI_OCCL_EXIT", "0")
+    base = run()
+    assert base.max() > 0
+    monkeypatch.setenv("MRT_TRI_OCCL_EXIT", "1")
+    fast = run()
+    np.testing.assert_array_equal(fast, base)
+    monkeypatch.setenv("MRT_TRI_NOCULL", "1")
+    nocull = run()
+    np.testing.assert_array_equal(nocull, base)
