@@ -429,18 +429,13 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
 
                 if not _NEAR_SORT:
                     if occl and _OCCL_EXIT:
-                        # early-exit any-hit: the caller only tests
-                        # hit/no-hit, so once EVERY live lane is occluded
-                        # (t_best < BIG/2) the remaining candidate blocks
-                        # cannot change the answer — stop the sweep. The
-                        # per-iteration cost is one vector reduce + scalar
-                        # compare, far below a (CB, RT) block sweep; with
-                        # shadow hit fractions ~0.76 (Mesh.json measured)
-                        # most tiles stop after the first block or two.
-                        # Blocks listed nearest-tkey-first would stop even
-                        # sooner, but the insertion sort measured a net
-                        # loss (_NEAR_SORT) — compaction order (Morton)
-                        # already puts the surface's own block early.
+                        # early-exit any-hit (opt-in, measured a net LOSS
+                        # — see _OCCL_EXIT): once EVERY live lane is
+                        # occluded (t_best < BIG/2) the remaining
+                        # candidate blocks cannot change the answer, so
+                        # the while form stops; but its scalar loop
+                        # dependency serializes sweeps the fori_loop
+                        # pipelines.
                         def occ_cond(st):
                             j, c = st
                             t_best = c[0]
@@ -584,12 +579,15 @@ _NEAR_SORT = os.environ.get("MRT_TRI_NEAR", "0") == "1"
 # failure mode as every per-block lax.cond scheme before it (BASELINE.md)
 _MID_GATE = os.environ.get("MRT_TRI_GATE", "0") == "1"
 # early-exit while loop for occlusion (shadow) candidate sweeps: stop as
-# soon as every live lane is occluded. Unlike _NEAR_SORT / _MID_GATE
-# (both net losses), the exit test is one vector reduce per iteration
-# and fires on the dominant shadow cost of triangle scenes (5.4 of
-# 16.6 ms/sample on Mesh.json, BASELINE.md round 4). Default on;
-# MRT_TRI_OCCL_EXIT=0 reverts to the full candidate loop.
-_OCCL_EXIT = os.environ.get("MRT_TRI_OCCL_EXIT", "1") == "1"
+# soon as every live lane is occluded. NEGATIVE result (round 5,
+# Mesh.json): fwd 7.54M vs 7.88M rays/s, fwdbwd 4.06M vs 4.24M — the
+# while_loop's per-iteration vector reduce + scalar dependency
+# serializes the block sweeps that the fori_loop pipelines, costing
+# more than the skipped blocks recover at ~6 candidates/tile. Same
+# failure family as _NEAR_SORT / _MID_GATE. Kept opt-in
+# (MRT_TRI_OCCL_EXIT=1); radiance is bitwise-identical either way
+# (test_occl_early_exit_and_nocull_match).
+_OCCL_EXIT = os.environ.get("MRT_TRI_OCCL_EXIT", "0") == "1"
 
 
 def _tri_superbounds(scene, frames):

@@ -266,7 +266,11 @@ def _pack_tex(scene):
     td = scene.tex_data                                     # (N, 3)
     N = td.shape[0]
     Th = -(-N // 128)
-    Thp = -(-Th // 128) * 128
+    # pad block columns to a SUBLANE multiple (8), not a lane multiple:
+    # Thp is only ever the contraction (K) dim of the block-pick dot and
+    # the sublane dim of its one-hot — a 128-pad made dof.json's 32-block
+    # atlas build a 4x wider (Thp, RT) one-hot than the atlas has blocks
+    Thp = -(-Th // 8) * 8
     tdp = jnp.pad(td, ((0, Th * 128 - N), (0, 0)))
     plan = tdp.reshape(Th, 128, 3).transpose(2, 1, 0).reshape(384, Th)
     hi = plan.astype(jnp.bfloat16).astype(jnp.float32)

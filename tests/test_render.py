@@ -74,7 +74,7 @@ def test_morton_layout_maps_slots_to_pixels():
     flat = np.zeros((r.n_chunks * r.chunk, 3), np.float32)
     flat[: r.n_pix, 0] = order.astype(np.float32)
     per = flat.reshape(r.n_chunks, r.chunk, 3)
-    r._accum = [jnp.asarray(per[i]) for i in range(r.n_chunks)]
+    r._accum = jnp.asarray(per)
     got = r.framebuffer()[:, :, 0]
     want = np.arange(nw * nh, dtype=np.float32).reshape(nh, nw)
     np.testing.assert_array_equal(got, want)
