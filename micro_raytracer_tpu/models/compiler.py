@@ -43,6 +43,23 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+def _mapped_kinds(kind_counts, mat_id, mat_maps_np, prim_valid):
+    """Static per-kind flag: does ANY valid row of this kind carry a map?
+
+    The kernels' uv math is per-kind (sphere spherical map runs a Cephes
+    atan2 chain); a kind with no mapped row can never feed the texel
+    fetch a uv anyone reads (``tv >= 0`` discards those lanes), so its
+    chain is compiled out entirely — e.g. dof.json textures only the
+    plane, not its spheres."""
+    has_map_row = (mat_maps_np[np.asarray(mat_id)] >= 0).any(axis=1) \
+        & np.asarray(prim_valid)
+    out, start = [], 0
+    for c in kind_counts:
+        out.append(bool(has_map_row[start:start + c].any()))
+        start += c
+    return tuple(out)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -55,7 +72,7 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
         "sky_color", "sky_pwr",
     ],
     meta_fields=["kind_counts", "n_lights", "has_maps", "any_refract",
-                 "map_slots", "n_groups"],
+                 "map_slots", "n_groups", "mapped_kinds"],
 )
 @dataclass
 class SceneArrays:
@@ -113,6 +130,9 @@ class SceneArrays:
     # number of (object, instance) groups — static so the kernels can
     # size the per-group attribute table (pallas_step group fetch)
     n_groups: int = 0
+    # per-KIND map presence (see _mapped_kinds): kinds with no mapped
+    # row compile without their uv chain in the kernels
+    mapped_kinds: tuple = (True,) * 4
 
     @property
     def n_prims(self) -> int:
@@ -387,6 +407,8 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
         has_maps=bool(textures), n_groups=group_counter,
         map_slots=tuple(
             bool(np.any(mat_maps_np[:, slot] >= 0)) for slot in range(6)),
+        mapped_kinds=_mapped_kinds(kind_counts, mat_id, mat_maps_np,
+                                   prim_valid),
         any_refract=any(
             o.mat.opacity != 1.0 or o.mat.glass != 0.0
             or o.mat.omap is not None or o.mat.gmap is not None

@@ -356,6 +356,108 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             else:
                 oX, invdX, tbX, liveX = o_rows, invd, t_bound, live_m
 
+            # sub-tile candidate granularity: the tile-frustum slab test
+            # is the culling's resolution limit (a 1024-lane tile spans a
+            # wide screen/space region, so it demands the union of its
+            # lanes' blocks). Splitting the tile into H lane groups with
+            # INDEPENDENT candidate lists sweeps each block only over the
+            # groups that demand it — strictly fewer (block x lane)
+            # pairs for the same semantics, at H x the (cheap, scalar)
+            # list bookkeeping. H divides the 8 sublane rows of the
+            # component-form slab test, so each group's test is a static
+            # row slice.
+            H = _SUBTILE if (RT % 1024 == 0 and _SUBTILE in (2, 4, 8)
+                             and not _NEAR_SORT and not _MID_GATE
+                             and not (occl and _OCCL_EXIT)) else 1
+
+            if H > 1:
+                RW = RT // H
+                GR = 8 // H
+                iota_h = jax.lax.broadcasted_iota(jnp.int32, (_CB, RW), 0)
+
+                def cb_body_h(b, c, oH, dH):
+                    t_best, r_best, g_best, na_best = c      # (1, RW)
+                    if occl:
+                        ok = pallas_tri._tri_block_any(AT, HT, thr, oH, dH,
+                                                       b, tb=_CB)
+                        any_r = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
+                                        keepdims=True)
+                        return (jnp.where(any_r > 0.0, -_BIG, t_best),
+                                r_best, g_best, na_best)
+                    t, ok = pallas_tri._tri_block(AT, HT, thr, oH, dH, b,
+                                                  tb=_CB)
+                    rows = iota_h + (tri_start + b * _CB)
+                    tm = jnp.where(ok, t, _BIG)
+                    bm = jnp.min(tm, axis=0, keepdims=True)
+                    br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
+                                 keepdims=True)
+                    upd = bm < t_best
+                    if track_g:
+                        gidB = gid[pl.ds(tri_start + b * _CB, _CB), :]
+                        bg = jnp.min(jnp.where(rows == br, gidB, _BIG),
+                                     axis=0, keepdims=True)
+                        g_best = jnp.where(upd, bg, g_best)
+                    if want_na:
+                        naB = tuple(
+                            at_ref[pl.ds(tri_start + b * _CB, _CB),
+                                   _NA_COL + k:_NA_COL + k + 1]
+                            for k in range(3))
+                        na_best = na_pick(rows == br, naB, na_best, upd)
+                    return (jnp.where(upd, bm, t_best),
+                            jnp.where(upd, br, r_best), g_best, na_best)
+
+                def scoped_h(cand_ref):
+                    cnts = []
+                    for hh in range(H):
+                        rs = slice(hh * GR, (hh + 1) * GR)
+                        oXH = [r[rs] for r in oX]
+                        invdH = [v[rs] for v in invdX]
+                        tbH, liveH = tbX[rs], liveX[rs]
+                        cnt = jnp.int32(0)
+                        for s in range(n_cb):               # static unroll
+                            tmin, tmax = _slab(s, oXH, invdH)
+                            touch = ((tmax >= jnp.maximum(tmin, 0.0))
+                                     & (tmin <= tbH))
+                            if occl:
+                                touch &= tbH >= _BIG * 0.5
+                            if live is not None:
+                                touch &= liveH
+                            hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
+                            at = jnp.where(hit, cnt, _CAND_MAX) \
+                                + hh * (_CAND_MAX + 1)
+                            cand_ref[at] = jnp.int32(s)
+                            cnt = cnt + hit.astype(jnp.int32)
+                        cnts.append(cnt)
+                    parts = []
+                    for hh in range(H):
+                        lo, hi = hh * RW, (hh + 1) * RW
+                        oH, dH = o[:, lo:hi], d[:, lo:hi]
+                        cH = tuple(
+                            tuple(v[:, lo:hi] for v in x)
+                            if isinstance(x, tuple) else x[:, lo:hi]
+                            for x in carry)
+                        base = hh * (_CAND_MAX + 1)
+                        cH = jax.lax.fori_loop(
+                            0, cnts[hh],
+                            lambda j, c, _o=oH, _d=dH, _b=base:
+                                cb_body_h(cand_ref[_b + j], c, _o, _d),
+                            cH)
+                        parts.append(cH)
+                    cat = lambda xs: jnp.concatenate(xs, axis=1)
+                    return (cat([p[0] for p in parts]),
+                            cat([p[1] for p in parts]),
+                            cat([p[2] for p in parts]),
+                            tuple(cat([p[3][k] for p in parts])
+                                  for k in range(3)))
+
+                carry = pl.run_scoped(
+                    scoped_h, pltpu.SMEM((H * (_CAND_MAX + 1),), jnp.int32))
+                te, row, wg, na_e = carry
+                row = jnp.where(row == _BIGI, 0, row)
+                if want_na:
+                    return te, row, wg, te, row, na_e, na_e
+                return te, row, wg, te, row
+
             def scoped(cand_ref, tmin_ref):
                 cnt = jnp.int32(0)
                 # farthest touched-slab exit per lane: a lane can never
@@ -588,6 +690,12 @@ _MID_GATE = os.environ.get("MRT_TRI_GATE", "0") == "1"
 # (MRT_TRI_OCCL_EXIT=1); radiance is bitwise-identical either way
 # (test_occl_early_exit_and_nocull_match).
 _OCCL_EXIT = os.environ.get("MRT_TRI_OCCL_EXIT", "0") == "1"
+# sub-tile candidate lists: split each ray tile into this many lane
+# groups, each with its own compacted candidate-block list (1 = off).
+# The tile-frustum union was the culling's measured resolution limit
+# ("within ~30% of its tile-granularity limit", BASELINE.md round 4);
+# groups sweep only the blocks their own lanes demand.
+_SUBTILE = int(os.environ.get("MRT_TRI_SUBTILE", "2"))
 
 
 def _tri_superbounds(scene, frames):

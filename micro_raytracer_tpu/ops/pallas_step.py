@@ -485,11 +485,14 @@ def _atan2_rows(y, x):
     return jnp.where(y < 0.0, -a, a)
 
 
-def _uv_rows(layout, att, p, row):
+def _uv_rows(layout, att, p, row, mapped=None):
     """Texture coordinates from fetched attribute rows (rt.rs:468-548),
     mirroring intersect.uv_from_attrs: sphere spherical map, plane
-    negative-wrap fract tiling, box 4x3 cross atlas, triangles 0."""
+    negative-wrap fract tiling, box 4x3 cross atlas, triangles 0.
+    ``mapped``: static per-kind map presence — see `_uv_comp`."""
     kinds, _has_tri = _kinds_present(layout)
+    if mapped is not None:
+        kinds = {k for k in kinds if mapped[k]}
     ip = _rows3(att, _C_IP)
     hp = ip + _matvec_rows(att, p - ip)
     rel = hp - ip
@@ -534,7 +537,9 @@ def _uv_rows(layout, att, p, row):
             u_box = jnp.where(c, uu, u_box)
             v_box = jnp.where(c, vv, v_box)
         vals[schema.KIND_BOX] = (u_box, v_box)
-    # triangles: uv = 0 (reference todo!())
+    # triangles: uv = 0 (reference todo!()); unmapped kinds: placeholder
+    for k, _s, _c in layout[0]:
+        vals.setdefault(k, (zero, zero))
     where2 = lambda c, a, b: (jnp.where(c, a[0], b[0]),
                               jnp.where(c, a[1], b[1]))
     return _kind_select(layout, row, vals, (zero, zero), where2)
@@ -588,7 +593,7 @@ def _apply_maps_rows(maps, TEXT, meta, att, u, v, alb, rgh, met, gls, opa,
     albedo by the texel RGB, slots 1-5 replace the scalar with the red
     channel; a -1 map id leaves the base value. Absent slots (static
     ``map_slots``) compile to nothing."""
-    slots, T = maps
+    slots, T = maps[0], maps[1]
     tid = lambda s: att[_C_MAP + s:_C_MAP + s + 1]
     if slots[0]:
         tv = tid(0)
@@ -869,7 +874,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     if maps:
         # texture overrides at the entry point; the dielectric test below
         # keeps the RAW metal column (material_from_attrs' `metal_scalar`)
-        u_uv, v_uv = _uv_rows(layout, atE, p_e, row)
+        u_uv, v_uv = _uv_rows(layout, atE, p_e, row, maps[2])
         text = text_r[...]
         alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_maps_rows(
             maps, text, tmeta, atE, u_uv, v_uv,
@@ -894,7 +899,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         opa_x = atX[_C_OPA:_C_OPA + 1]
         emi_x = atX[_C_EMI:_C_EMI + 1]
         if maps:
-            ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow)
+            ux_uv, vx_uv = _uv_rows(layout, atX, p_x, xrow, maps[2])
             alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_maps_rows(
                 maps, text, tmeta, atX, ux_uv, vx_uv,
                 alb_x, rgh_x, met_x, gls_x, opa_x, emi_x)
@@ -1498,11 +1503,18 @@ def _normal_comp(layout, at, p, row):
     return _vfinite0(_vnorm_safe(_vmatvec(at, n_obj)))
 
 
-def _uv_comp(layout, at, p, row):
+def _uv_comp(layout, at, p, row, mapped=None):
     """Component-form twin of `_uv_rows` (rt.rs:468-548): sphere spherical
     map (Cephes atan2 — elementwise, shape-agnostic), plane negative-wrap
-    fract tiling, box 4x3 cross atlas, triangles 0."""
+    fract tiling, box 4x3 cross atlas, triangles 0.
+
+    ``mapped`` (static per-kind bools): kinds with no mapped row skip
+    their chain — their lanes' uv feeds a texel fetch whose value is
+    discarded (``tv >= 0``), so any placeholder is equivalent. Compiles
+    out e.g. the sphere atan2 for dof.json (only the plane is mapped)."""
     kinds, _has_tri = _kinds_present(layout)
+    if mapped is not None:
+        kinds = {k for k in kinds if mapped[k]}
     ip = _v3(at, _C_IP)
     hp = _vadd(ip, _vmatvec(at, _vsub(p, ip)))
     rel = _vsub(hp, ip)
@@ -1542,7 +1554,9 @@ def _uv_comp(layout, at, p, row):
             u_box = jnp.where(c, uu, u_box)
             v_box = jnp.where(c, vv, v_box)
         vals[schema.KIND_BOX] = (u_box, v_box)
-    # triangles: uv = 0 (reference todo!())
+    # triangles: uv = 0 (reference todo!()); unmapped kinds: placeholder
+    for k, _s, _c in layout[0]:
+        vals.setdefault(k, (zero, zero))
     where2 = lambda c, a, b: (jnp.where(c, a[0], b[0]),
                               jnp.where(c, a[1], b[1]))
     return _kind_select(layout, row, vals, (zero, zero), where2)
@@ -1602,7 +1616,7 @@ def _tex_slots(maps):
     """Present map slots in slot order (0 = albedo rgb, 1-5 scalar)."""
     if not maps:
         return []
-    slots, _T = maps
+    slots, _T = maps[0], maps[1]
     return [s for s in range(6) if slots[s]]
 
 
@@ -1621,7 +1635,7 @@ def _tex_res_rows_side(maps):
 def _tex_values_comp(maps, TEXT, meta, at, u, v):
     """Fetch the present slots' texel values: [(slot, value)] with a
     3-tuple for slot 0 and a scalar block otherwise."""
-    slots, T = maps
+    slots, T = maps[0], maps[1]
     out = []
     for s in _tex_slots(maps):
         tv = _att(at, _C_MAP + s)
@@ -2125,7 +2139,7 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
         if tex_sv is not None:
             tex_e = tex_sv["e"]
         else:
-            u_uv, v_uv = _uv_comp(layout, atE, p_e, row)
+            u_uv, v_uv = _uv_comp(layout, atE, p_e, row, maps[2])
             tex_e = _tex_values_comp(maps, text, tmeta, atE, u_uv, v_uv)
         alb_e, rgh_e, met_e, _, opa_e, emi_e = _apply_tex_comp(
             maps, atE, tex_e,
@@ -2159,7 +2173,8 @@ def _step_comp(layout, need_exit, L, p, u, live, te_sv, tx_sv, row, xrow,
             if tex_sv is not None:
                 tex_x = tex_sv["x"]
             else:
-                ux_uv, vx_uv = _uv_comp(layout, atX, p_x, xrow)
+                ux_uv, vx_uv = _uv_comp(layout, atX, p_x, xrow,
+                                         maps[2])
                 tex_x = _tex_values_comp(maps, text, tmeta, atX, ux_uv,
                                          vx_uv)
             alb_x, rgh_x, met_x, gls_x, opa_x, emi_x = _apply_tex_comp(
@@ -3684,7 +3699,8 @@ def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
     K = u8s.shape[0]
     maps, tex_args = None, ()
     if tex is not None:
-        maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
+        maps = (tuple(scene.map_slots), int(tex[1].shape[0]),
+                tuple(scene.mapped_kinds))
         if inference:
             return _call_trace(layout, scene.any_refract, scene.n_lights, K,
                                consts, attr, lights,
@@ -3713,7 +3729,8 @@ def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
     K = u8s.shape[0]
     maps = None
     if tex is not None:
-        maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
+        maps = (tuple(scene.map_slots), int(tex[1].shape[0]),
+                tuple(scene.mapped_kinds))
     return _call_trace(layout, scene.any_refract, scene.n_lights, K,
                        consts, attr, lights, jnp.asarray(decay, jnp.float32),
                        oT, dT, u8s, tex=tex, maps=maps, c0=c0,
@@ -3797,7 +3814,8 @@ def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
     oT, dT, pwrT, liveT = rayT
     layout = _seg_layout(scene.kind_counts)
     if tex is not None:
-        maps = (tuple(scene.map_slots), int(tex[1].shape[0]))
+        maps = (tuple(scene.map_slots), int(tex[1].shape[0]),
+                tuple(scene.mapped_kinds))
         o2, d2, pwr2, live2, A2, B2 = _call_step(
             layout, scene.any_refract, scene.n_lights, consts, attr,
             lights, jnp.asarray(decay, jnp.float32),

@@ -175,8 +175,12 @@ def test_occl_early_exit_and_nocull_match(monkeypatch):
         "sky": {"color": [0.2, 0.25, 0.3], "pwr": 0.4},
     }))
     cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2.5, 0]}))
-    xs, ys = np.meshgrid(np.arange(6, 58, 4), np.arange(6, 58, 4))
-    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    # 1024 rays -> a full 1024-lane kernel tile, so the component-form
+    # slab test AND the sub-tile (H-group) candidate path are exercised
+    # in interpret mode (smaller batches take the (1, RT) fallback)
+    xs, ys = np.meshgrid(np.arange(32), np.arange(32))
+    coords = jnp.asarray(np.stack([xs.ravel() * 1.8 + 2,
+                                   ys.ravel() * 1.8 + 2], -1), jnp.float32)
     key = jax.random.PRNGKey(9)
     monkeypatch.setenv("MRT_STEP", "1")
     monkeypatch.setenv("MRT_HIT3", "1")
@@ -186,12 +190,18 @@ def test_occl_early_exit_and_nocull_match(monkeypatch):
                                          jnp.float32(0.15), coords, key,
                                          inference=True))
 
+    monkeypatch.setenv("MRT_TRI_SUBTILE", "1")
     monkeypatch.setenv("MRT_TRI_OCCL_EXIT", "0")
     base = run()
     assert base.max() > 0
     monkeypatch.setenv("MRT_TRI_OCCL_EXIT", "1")
     fast = run()
     np.testing.assert_array_equal(fast, base)
+    monkeypatch.setenv("MRT_TRI_OCCL_EXIT", "0")
+    for h in ("2", "4"):
+        monkeypatch.setenv("MRT_TRI_SUBTILE", h)
+        sub = run()
+        np.testing.assert_array_equal(sub, base)
     monkeypatch.setenv("MRT_TRI_NOCULL", "1")
     nocull = run()
     np.testing.assert_array_equal(nocull, base)
