@@ -69,18 +69,28 @@ def _pick_chunk(n_pix: int, scene) -> int:
     """
     from ..models import schema as _schema
     from ..ops import intersect as _intersect
-    from ..ops import pallas_tri
+    from ..ops import pallas_hit3, pallas_tri
 
     L = max(1, scene.n_lights)
     P = max(1, scene.n_prims)
     n_tri = scene.kind_counts[_schema.KIND_TRIANGLE]
-    if pallas_tri.enabled_for(scene):
+    if pallas_hit3.enabled_for(scene):
+        # all-kind fused kernel: every (R, P)-scale sweep intermediate
+        # lives in VMEM per ray tile (_pick_tile clamps the tile for wide
+        # tables), so chunk size is NOT bounded by the primitive count.
+        # The old P-scaled budget gave Instance.json (P=1000) 5120-ray
+        # chunks — 26 dispatches/sample of ~35 ms tunnel overhead each,
+        # the whole "small-chunk dominated" cliff (BASELINE.md round 4).
+        c = 1 << 17
+    elif pallas_tri.enabled_for(scene):
         budget, per_ray = 1 << 24, max(1, P - n_tri) * L * 3
+        c = budget // per_ray
     elif _intersect._use_tri_mxu(n_tri):
         budget, per_ray = 1 << 27, P * L * 6
+        c = budget // per_ray
     else:
         budget, per_ray = 1 << 24, P * L * 3
-    c = budget // per_ray
+        c = budget // per_ray
     c = max(1024, min(1 << 17, c))  # 2^17 measured fastest per ray
     c = (c // 1024) * 1024
     return min(c, max(1024, -(-n_pix // 1024) * 1024))
@@ -102,37 +112,17 @@ def _sample_chunk_many(scene, cam, render_wh, bounce, n_samples, loss,
     return jax.lax.fori_loop(0, n_samples, body, accum)
 
 
-@partial(jax.jit, static_argnames=("render_wh", "bounce", "n_samples"),
-         donate_argnames=("accum",))
-def _sample_frame_many(scene, cam, render_wh, bounce, n_samples, loss,
-                       coords_all, base_key, accum):
-    """One device call for the WHOLE frame: every chunk x n_samples.
-
-    The per-chunk Python loop cost one tunnel dispatch (~30-40 ms fixed,
-    bench.py `_dispatch_overhead`) per chunk per pass — 288 dispatches
-    (~10 s) on the 36-chunk CornellBox2 flagship at 512 spp, dominating
-    the warm wall over the 16.8 s of device compute (round-4 verdict,
-    weak #6). Folding the chunk loop into the jitted program makes it
-    one dispatch per pass. RNG is bitwise-identical to the old loop:
-    the same ``fold_in(base, c)`` per chunk, ``fold_in(key_c, i)`` per
-    sample.
-    """
-
-    def chunk_body(c, acc):
-        coords = jax.lax.dynamic_index_in_dim(coords_all, c, keepdims=False)
-        key_c = jax.random.fold_in(base_key, c)
-
-        def body(i, a):
-            rad = trace_radiance(scene, cam, render_wh, bounce, loss,
-                                 coords, jax.random.fold_in(key_c, i),
-                                 inference=True)
-            return a + rad
-
-        a0 = jax.lax.dynamic_index_in_dim(acc, c, keepdims=False)
-        a1 = jax.lax.fori_loop(0, n_samples, body, a0)
-        return jax.lax.dynamic_update_index_in_dim(acc, a1, c, 0)
-
-    return jax.lax.fori_loop(0, coords_all.shape[0], chunk_body, accum)
+# NEGATIVE result (round 5): folding the chunk loop into ONE jitted
+# whole-frame program (fori over chunks of the fused sample loop) was
+# built to kill the 36-chunks x ~35 ms tunnel dispatch cost — but chunk
+# dispatches PIPELINE (block_until_ready is a no-op through the tunnel;
+# the host queues all chunks and syncs once), so they never serialized
+# in the first place, and the whole-frame program made the axon
+# service's per-process compile ~10x slower (first pass 196-370 s vs
+# ~15-20 s for the per-chunk program; the jax persistent cache HITS but
+# only caches the client-side blob — the service recompiles per
+# process). Per-chunk dispatch restored; the real warm-wall tax is that
+# remote per-process compile, not dispatch count.
 
 
 def _make_sp_chunk_fn(mesh, render_wh, bounce, n_samples):
@@ -200,11 +190,14 @@ class Renderer:
         pix = np.concatenate([order, np.zeros(n_pad - self.n_pix, np.int64)])
         ys, xs = np.divmod(pix, nw)
         coords = np.stack([xs, ys], axis=-1).astype(np.float32)
-        # pixel flat index -> ray slot, for frame assembly
+        # pixel flat index -> ray slot, for frame assembly (kept on the
+        # host: the host-tonemap path indexes it in numpy, the device
+        # path converts on demand; np-side init also avoids a handful of
+        # ~0.35 s remote compiles of trivial reshape/convert programs)
         inv = np.empty(self.n_pix, np.int64)
         inv[order] = np.arange(self.n_pix, dtype=np.int64)
-        self._inv_order = jnp.asarray(inv)
-        self._coords = jnp.asarray(coords).reshape(-1, self.chunk, 2)
+        self._inv_order = inv
+        self._coords = jnp.asarray(coords.reshape(-1, self.chunk, 2))
         self.n_chunks = self._coords.shape[0]
         self._accum = jnp.zeros((self.n_chunks, self.chunk, 3), jnp.float32)
         if mesh is not None:
@@ -248,13 +241,17 @@ class Renderer:
                 jnp.stack(outs),
                 NamedSharding(self.mesh, PartitionSpec(None, "dp")))
         else:
-            # whole frame in ONE dispatch (chunk loop inside the program):
-            # per-chunk dispatches cost ~30-40 ms each through tunneled
-            # runtimes and dominated the flagship's warm wall
-            self._accum = _sample_frame_many(
-                self.scene, self.cam, self.render_wh,
-                self.config.rt.bounce, n_samples, self._loss,
-                self._coords, base, self._accum)
+            # per-chunk dispatches pipeline through the runtime (see the
+            # whole-frame NEGATIVE note above) — one jitted call per
+            # chunk, same compiled program for every chunk
+            outs = []
+            for c in range(self.n_chunks):
+                k = jax.random.fold_in(base, c)
+                outs.append(_sample_chunk_many(
+                    self.scene, self.cam, self.render_wh,
+                    self.config.rt.bounce, n_samples, self._loss,
+                    self._coords[c], k, self._accum[c]))
+            self._accum = jnp.stack(outs)
         jax.block_until_ready(self._accum)
         # block_until_ready is a no-op on some experimental PJRT plugins; a
         # one-scalar device->host transfer forces a real sync so the returned
@@ -268,7 +265,8 @@ class Renderer:
     def _device_frame(self):
         """Running radiance sum as a device-resident (nh, nw, 3) array."""
         flat = self._accum.reshape(-1, 3)
-        flat = flat[self._inv_order]  # Morton ray order -> row-major pixels
+        # Morton ray order -> row-major pixels
+        flat = flat[jnp.asarray(self._inv_order)]
         nw, nh = self.render_wh
         return flat.reshape(nh, nw, 3)
 
@@ -276,16 +274,41 @@ class Renderer:
         """Running radiance sum as (nh, nw, 3) float32 (host copy)."""
         return np.asarray(self._device_frame())
 
-    def img(self) -> np.ndarray:
+    def img(self, host: bool | None = None) -> np.ndarray:
         """Tonemapped, SSAA-downsampled (h, w, 3) uint8 image (sampler.rs:80-99).
 
-        Tonemapping runs on device straight from the accumulators — only the
-        final u8 image crosses to the host (one transfer per ``--update``
-        pass, not a framebuffer round-trip).
+        ``host=None`` (auto): on remote-tunneled accelerators the
+        finalize runs on the LOCAL cpu backend from one framebuffer
+        fetch — the device tonemap program costs ~15 s of per-process
+        remote compile/warmup, far more than fetching the framebuffer
+        (~2 s for the 2160^2 flagship) + CPU tonemap (round-5 measured).
+        ``host=False`` forces the on-device path (long-lived processes
+        amortize its warmup; only the u8 image then crosses the link).
         """
-        out = tonemap.finalize(self._device_frame(),
-                               jnp.float32(max(self.count, 1)),
-                               self.cam.gamma, self.cam.exp, self.config.frame.res)
+        if host is None:
+            try:
+                host = jax.devices()[0].platform not in ("cpu",)
+            except Exception:  # pragma: no cover
+                host = False
+        if not host:
+            out = tonemap.finalize(self._device_frame(),
+                                   jnp.float32(max(self.count, 1)),
+                                   self.cam.gamma, self.cam.exp,
+                                   self.config.frame.res)
+            return np.asarray(out)
+        flat = np.asarray(self._accum).reshape(-1, 3)[self._inv_order]
+        nw, nh = self.render_wh
+        frame = flat.reshape(nh, nw, 3)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:  # pragma: no cover — no cpu backend: use device
+            return self.img(host=False)
+        with jax.default_device(cpu):
+            out = tonemap.finalize(jnp.asarray(frame),
+                                   np.float32(max(self.count, 1)),
+                                   np.float32(self.cam.gamma),
+                                   np.float32(self.cam.exp),
+                                   self.config.frame.res)
         return np.asarray(out)
 
     # -- checkpoint/resume ---------------------------------------------------
