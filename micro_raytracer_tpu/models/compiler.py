@@ -313,6 +313,22 @@ def compile_scene(scene: schema.SceneConfig) -> SceneArrays:
     else:
         placeholder = False
 
+    # -- spatial order for long sphere segments --
+    # pallas_hit3 sweeps sphere segments >= _DENSE_CULL_MIN (256) rows in
+    # _CB-row candidate blocks gated by per-block AABBs; instance-order
+    # rows (Instance.json's x/y/z grid loops) make those blocks thin
+    # slabs, the median-split order makes them compact cells — same
+    # mechanism as the triangle ordering. Row order within a kind only
+    # permutes row ids (entry/exit reductions are order-free).
+    ns = len(rows[schema.KIND_SPHERE]["a"])
+    if ns >= 256:
+        ctr = np.asarray(rows[schema.KIND_SPHERE]["ipos"],
+                         np.float32).reshape(ns, 3)
+        perm = _median_split_order(np.repeat(ctr[:, None, :], 3, axis=1))
+        b = rows[schema.KIND_SPHERE]
+        for kkey in b:
+            b[kkey] = [b[kkey][i] for i in perm]
+
     # -- pad each kind segment --
     kind_counts = []
     cat = {key: [] for key in ("a", "b", "c", "r", "ipos", "idir", "group", "mat", "valid")}

@@ -130,18 +130,26 @@ def _compact_cuts(scene: SceneArrays, steps: int, inference: bool):
     NOT the argsort that made MRT_RESORT a loss — and each ray keeps its
     uniform stream (ids ride along), so radiance is bit-identical.
 
-    Default: inference-only, scenes with a triangle segment (their sweeps
-    are the expensive ones; closed sphere/box scenes keep lanes live and
-    would only pay). ``MRT_COMPACT=0`` disables, ``=1`` forces for all
-    scenes; ``MRT_COMPACT_AT`` overrides the cut depths."""
+    Default: inference-only, scenes with a triangle segment OR a
+    cull-eligible sphere segment (their sweeps are the expensive ones,
+    and both scene classes are open — lanes die to the sky; Instance.json
+    measured 2.62 -> 3.93M rays/s from compaction alone, round 5).
+    Closed small scenes keep lanes live and would only pay.
+    ``MRT_COMPACT=0`` disables, ``=1`` forces for all scenes;
+    ``MRT_COMPACT_AT`` overrides the cut depths."""
     import os
+
+    from ..ops import pallas_hit3
 
     if not inference:
         return []
     env = os.environ.get("MRT_COMPACT", "")
     if env == "0":
         return []
-    if env != "1" and not scene.kind_counts[schema.KIND_TRIANGLE]:
+    sph_cull = pallas_hit3._sph_cull_rows(
+        pallas_hit3._seg_layout(scene.kind_counts)) is not None
+    if env != "1" and not (scene.kind_counts[schema.KIND_TRIANGLE]
+                           or sph_cull):
         return []
     at = os.environ.get("MRT_COMPACT_AT", "3,6")
     cuts = sorted({int(x) for x in at.split(",") if x.strip()})
@@ -460,7 +468,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
 
         if tri_pack is None and scene.kind_counts[_schema.KIND_TRIANGLE]:
             tri_pack = intersect.triangle_pack(scene, frames)
-        consts, attr, gattr, lights, tex = pallas_step.pack_step(
+        consts, attr, gattr, attr2, lights, tex = pallas_step.pack_step(
             scene, frames, tri_pack)
         pad = pallas_step.lane_pad(R)
         o_p, d_p = orig, dirs
@@ -510,7 +518,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                     A_T, B_T, fl_seg, cout = pallas_step.trace_segment(
                         scene, consts, attr, lights, decay, o_p.T, d_p.T,
                         u_seg.reshape(s1 - s0, nu, Rp), tex=tex, c0=c0,
-                        gattr=gattr)
+                        gattr=gattr, attr2=attr2)
                     if s0 == 0:
                         flT = fl_seg          # ray order: seg 1 unpermuted
                     if s1 < steps:
@@ -539,7 +547,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
             else:
                 A_T, B_T, flT = pallas_step.trace_packed(
                     scene, consts, attr, lights, decay, o_p.T, d_p.T, u8s,
-                    tex=tex, inference=inference, gattr=gattr)
+                    tex=tex, inference=inference, gattr=gattr, attr2=attr2)
             A, B = A_T.T[:R], B_T.T[:R]
             first_live = flT[0, :R] > 0.5
             base = jnp.broadcast_to(scene.sky_color * scene.sky_pwr, (R, 3))
@@ -556,7 +564,7 @@ def trace_fused(scene: SceneArrays, frames, attrs, bounce: int,
                 u8 = u8[:, ridT]
             rayT2, A2, B2 = pallas_step.step_packed(
                 scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
-                tex=tex, gattr=gattr)
+                tex=tex, gattr=gattr, attr2=attr2)
             firstT = jnp.where(i == 0, rayT2[3], firstT)
             if resort:
                 perm = _resort_perm(rayT2[0][0], rayT2[0][1], rayT2[0][2],

@@ -223,8 +223,156 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
     zero_na = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3))
     carry = (jnp.full(shape, _BIG, jnp.float32), jnp.zeros(shape, jnp.int32),
              jnp.full(shape, _BIG, jnp.float32), zero_na)
+
+    def sphere_cull_sweep(s0, n_rows, carry):
+        """Candidate-block sweep of a LONG sphere segment — the dense-kind
+        analog of the triangle candidate path (round 5; Instance.json's
+        1000 spheres ran a full dense all-pairs sweep every step). Blocks
+        are ``_CB`` rows; their AABB rows live at :func:`_bb_sph_off` in
+        the combined ``tbb`` table; ``_SUBTILE`` lane groups carry
+        independent candidate lists like the tri path. Tie-breaks match
+        the dense sweep: blocks ascend, rows ascend within a block, and
+        an untouched block can hold no valid hit (a sphere hit point lies
+        inside its block AABB — no phantom analog)."""
+        n_sb = (n_rows + _CB - 1) // _CB
+        off = _bb_sph_off(layout)
+        H = _SUBTILE if _SUBTILE in (2, 4, 8) else 1
+        RW = RT // H
+        GR = 8 // H
+        invd = [1.0 / jnp.where(d[k:k + 1, :] == 0.0, EPS, d[k:k + 1, :])
+                for k in range(3)]
+        c8 = lambda x: jnp.reshape(x, (8, RT // 8))
+        oX = [c8(o[k:k + 1, :]) for k in range(3)]
+        invdX = [c8(v) for v in invd]
+        t_bound = carry[0]
+        tbX = c8(t_bound)
+        live_m = live if live is not None else jnp.ones(t_bound.shape, bool)
+        liveX = c8(live_m.astype(jnp.float32)) > 0.5
+
+        def slab(bi, oR, iR):
+            tmin = tmax = None
+            for k in range(3):
+                t1 = (tbb[off + bi, k] - oR[k]) * iR[k]
+                t2 = (tbb[off + bi, 3 + k] - oR[k]) * iR[k]
+                near, far = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+                tmin = near if tmin is None else jnp.maximum(tmin, near)
+                tmax = far if tmax is None else jnp.minimum(tmax, far)
+            return tmin, tmax
+
+        def sph_rows(start, oH, dH):
+            # the sphere branch of _kind_block on a dynamic _CB-row slice
+            sl = pl.ds(start, _CB)
+            f = [fr[sl, k:k + 1] for k in range(9)]
+            ix, iy, iz = (ipos[sl, k:k + 1] for k in range(3))
+            oc = [oH[k:k + 1, :] for k in range(3)]
+            dc = [dH[k:k + 1, :] for k in range(3)]
+            rx, ry, rz = oc[0] - ix, oc[1] - iy, oc[2] - iz
+            opx = f[0] * rx + f[1] * ry + f[2] * rz + ix
+            opy = f[3] * rx + f[4] * ry + f[5] * rz + iy
+            opz = f[6] * rx + f[7] * ry + f[8] * rz + iz
+            dpx = f[0] * dc[0] + f[1] * dc[1] + f[2] * dc[2]
+            dpy = f[3] * dc[0] + f[4] * dc[1] + f[5] * dc[2]
+            dpz = f[6] * dc[0] + f[7] * dc[1] + f[8] * dc[2]
+            r_ = pr[sl, 0:1]
+            ox_, oy_, oz_ = opx - ix, opy - iy, opz - iz
+            a = dpx * dpx + dpy * dpy + dpz * dpz
+            bq = 2.0 * (ox_ * dpx + oy_ * dpy + oz_ * dpz)
+            c = ox_ * ox_ + oy_ * oy_ + oz_ * oz_ - r_ * r_
+            disc = bq * bq - 4.0 * a * c
+            sq = jnp.sqrt(jnp.where(disc >= 0.0,
+                                    jnp.maximum(disc, 1e-12), 1.0))
+            a2_ = jnp.where(a == 0.0, 1.0, 2.0 * a)
+            t0 = (-bq - sq) / a2_
+            t1 = (-bq + sq) / a2_
+            ok = (disc >= 0.0) & (t0 >= 0.0)
+            ok &= valid[sl, 0:1] > 0.5
+            ok &= jnp.isfinite(t0) & jnp.isfinite(t1)
+            return t0, ok
+
+        def body(b, c, oH, dH, iota_b):
+            t_best, r_best, g_best, na_best = c
+            start = s0 + b * _CB
+            t0, ok = sph_rows(start, oH, dH)
+            if occl:
+                any_r = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
+                                keepdims=True)
+                return (jnp.where(any_r > 0.0, -_BIG, t_best),
+                        r_best, g_best, na_best)
+            rows = iota_b + start
+            tm = jnp.where(ok, t0, _BIG)
+            bm = jnp.min(tm, axis=0, keepdims=True)
+            br = jnp.min(jnp.where(tm == bm, rows, _BIGI), axis=0,
+                         keepdims=True)
+            upd = bm < t_best
+            if track_g:
+                gidB = gid[pl.ds(start, _CB), :]
+                bg = jnp.min(jnp.where(rows == br, gidB, _BIG), axis=0,
+                             keepdims=True)
+                g_best = jnp.where(upd, bg, g_best)
+            if want_na:
+                naB = tuple(at_ref[pl.ds(start, _CB),
+                                   _NA_COL + k:_NA_COL + k + 1]
+                            for k in range(3))
+                na_best = na_pick(rows == br, naB, na_best, upd)
+            return (jnp.where(upd, bm, t_best),
+                    jnp.where(upd, br, r_best), g_best, na_best)
+
+        def scoped_s(cand_ref):
+            cnts = []
+            for hh in range(H):
+                rs = slice(hh * GR, (hh + 1) * GR)
+                oXH = [r[rs] for r in oX]
+                invdH = [v[rs] for v in invdX]
+                tbH, liveH = tbX[rs], liveX[rs]
+                cnt = jnp.int32(0)
+                for sb in range(n_sb):                  # static unroll
+                    tmin, tmax = slab(sb, oXH, invdH)
+                    touch = ((tmax >= jnp.maximum(tmin, 0.0))
+                             & (tmin <= tbH))
+                    if occl:
+                        touch &= tbH >= _BIG * 0.5
+                    if live is not None:
+                        touch &= liveH
+                    hit = jnp.max(jnp.where(touch, 1.0, 0.0)) > 0.0
+                    at = jnp.where(hit, cnt, _CAND_MAX) \
+                        + hh * (_CAND_MAX + 1)
+                    cand_ref[at] = jnp.int32(sb)
+                    cnt = cnt + hit.astype(jnp.int32)
+                cnts.append(cnt)
+            parts = []
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (_CB, RW), 0)
+            for hh in range(H):
+                lo_, hi_ = hh * RW, (hh + 1) * RW
+                oH, dH = o[:, lo_:hi_], d[:, lo_:hi_]
+                cH = tuple(
+                    tuple(v[:, lo_:hi_] for v in x)
+                    if isinstance(x, tuple) else x[:, lo_:hi_]
+                    for x in carry)
+                base = hh * (_CAND_MAX + 1)
+                cH = jax.lax.fori_loop(
+                    0, cnts[hh],
+                    lambda j, c, _o=oH, _d=dH, _b=base:
+                        body(cand_ref[_b + j], c, _o, _d, iota_b),
+                    cH)
+                parts.append(cH)
+            cat = lambda xs: jnp.concatenate(xs, axis=1)
+            return (cat([p[0] for p in parts]),
+                    cat([p[1] for p in parts]),
+                    cat([p[2] for p in parts]),
+                    tuple(cat([p[3][k] for p in parts])
+                          for k in range(3)))
+
+        return pl.run_scoped(
+            scoped_s, pltpu.SMEM((H * (_CAND_MAX + 1),), jnp.int32))
+
+    sph = _sph_cull_rows(layout) if tbb is not None else None
+    sph_cull = (sph is not None and not need_exit and RT % 1024 == 0
+                and os.environ.get("MRT_TRI_NOCULL", "0") != "1")
     for kind, s, e_c in segs:
         e = s + e_c
+        if sph_cull and kind == schema.KIND_SPHERE and s == sph[0]:
+            carry = sphere_cull_sweep(s, e_c, carry)
+            continue
         t0, t1, ok = _kind_block(kind, s, e, fr, ipos, pa, pr, valid, o, d)
         rows = jax.lax.broadcasted_iota(jnp.int32, (e_c, RT), 0) + s
         if need_exit:
@@ -698,6 +846,65 @@ _OCCL_EXIT = os.environ.get("MRT_TRI_OCCL_EXIT", "0") == "1"
 _SUBTILE = int(os.environ.get("MRT_TRI_SUBTILE", "2"))
 
 
+# dense-kind culling threshold: sphere segments at least this long get
+# _CB-row cull blocks like the triangle segment (Instance.json's 1000
+# spheres ran a full dense all-pairs sweep every step — the scene class
+# the reference's per-object iteration handles by construction)
+_DENSE_CULL_MIN = 256
+
+
+def _sph_cull_rows(layout):
+    """(sphere_start, n_sphere) if the sphere segment gets cull blocks."""
+    from ..models import schema as _s
+
+    for kind, s, c in layout[0]:
+        if kind == _s.KIND_SPHERE and c >= _DENSE_CULL_MIN \
+                and (c + _CB - 1) // _CB <= _CAND_MAX:
+            return s, c
+    return None
+
+
+def _bb_sph_off(layout):
+    """Row offset of the sphere-block AABBs inside the combined ``tbb``
+    table: the (8-padded) triangle super rows come first."""
+    n_tri = layout[2]
+    if not n_tri:
+        return 0
+    n_sup = (n_tri + _CB - 1) // _CB
+    return n_sup + ((-n_sup) % 8)
+
+
+def _sphere_blockbounds(scene):
+    """World AABBs of _CB-row sphere blocks: center +- r per row (the
+    instance transform is a rotation — radius invariant), empty for
+    invalid rows, 8-padded like :func:`_tri_superbounds`."""
+    s = scene.seg(schema.KIND_SPHERE)
+    ip = scene.inst_pos[s]
+    r = scene.prim_r[s][:, None]
+    valid = scene.prim_valid[s][:, None]
+    big = jnp.float32(_BIG)
+    lo = jnp.where(valid, ip - r, big)
+    hi = jnp.where(valid, ip + r, -big)
+    Ps = lo.shape[0]
+    pad = (-Ps) % _CB
+    lo = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=big)
+    hi = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-big)
+    n_b = (Ps + pad) // _CB
+    lo = jnp.min(lo.reshape(n_b, _CB, 3), axis=1)
+    hi = jnp.max(hi.reshape(n_b, _CB, 3), axis=1)
+    eps = 1e-4 + 1e-4 * jnp.maximum(hi - lo, 0.0)
+    lo, hi = lo - eps, hi + eps
+    bad = ~(jnp.isfinite(lo) & jnp.isfinite(hi))
+    lo = jnp.where(bad, -big, lo)
+    hi = jnp.where(bad, big, hi)
+    bb = jnp.concatenate([lo, hi, jnp.zeros((n_b, 2), jnp.float32)], 1)
+    if n_b % 8:
+        empty = jnp.tile(jnp.asarray([[big] * 3 + [-big] * 3 + [0.0] * 2],
+                                     jnp.float32), ((-n_b) % 8, 1))
+        bb = jnp.concatenate([bb, empty], axis=0)
+    return bb
+
+
 def _tri_superbounds(scene, frames):
     """World-space AABBs of Morton-contiguous triangle super-blocks.
 
@@ -761,6 +968,15 @@ def pack_scene(scene, frames, tri_pack):
     valid = scene.prim_valid.astype(jnp.float32)[:, None]
     gid = scene.group_id.astype(jnp.float32)[:, None]
     n_tri = scene.kind_counts[schema.KIND_TRIANGLE]
+    # combined cull-AABB table: (8-padded) triangle super rows first,
+    # then sphere-block rows (offset derivable from the static layout —
+    # _bb_sph_off); either section may be absent
+    bb_parts = []
+    layout = _seg_layout(scene.kind_counts)
+    if _sph_cull_rows(layout) is not None:
+        sbb = _sphere_blockbounds(scene)
+    else:
+        sbb = None
     tbb = None
     if n_tri:
         s = scene.seg(schema.KIND_TRIANGLE)
@@ -770,7 +986,7 @@ def pack_scene(scene, frames, tri_pack):
         gid_all = jnp.concatenate(
             [gid[:s.start], _pad_p(gid[s.start:], fill=-3.0)], axis=0)
         # culling is metadata, not semantics: keep gradients off its tables
-        tbb = jax.lax.stop_gradient(_tri_superbounds(scene, frames))
+        bb_parts.append(_tri_superbounds(scene, frames))
     else:
         # Mosaic rejects zero-row operands; a dummy sublane tile with
         # thr=BIG is never read (the kernel's tri loop is compiled out)
@@ -778,6 +994,10 @@ def pack_scene(scene, frames, tri_pack):
         HT = jnp.zeros((8, 3), jnp.float32)
         thr = jnp.full((8, 1), _BIG, jnp.float32)
         gid_all = gid
+    if sbb is not None:
+        bb_parts.append(sbb)
+    if bb_parts:
+        tbb = jax.lax.stop_gradient(jnp.concatenate(bb_parts, axis=0))
     return (fr, scene.inst_pos, scene.prim_a, scene.prim_r[:, None],
             valid, gid_all, AT, HT, thr, tbb)
 

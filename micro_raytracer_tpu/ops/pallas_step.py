@@ -166,6 +166,24 @@ def _pick_tile(want, Rp, dense_rows=0, tex_cols=0):
     return t
 
 
+def _dense_rows_eff(layout, need_exit):
+    """Dense-kind rows the step kernels materialize at once: a
+    cull-eligible sphere segment sweeps in ``_CB``-row candidate blocks
+    (pallas_hit3.sphere_cull_sweep, entry-only), so it contributes _CB
+    rows to the VMEM stack budget, not its full length — Instance.json
+    (P=1000) was clamped to 256-lane tiles by the old full-segment
+    accounting."""
+    sph = pallas_hit3._sph_cull_rows(layout)
+    rows = 0
+    for kind, s, c in layout[0]:
+        if (sph is not None and not need_exit
+                and kind == schema.KIND_SPHERE and s == sph[0]):
+            rows += pallas_hit3._CB
+        else:
+            rows += c
+    return rows
+
+
 def _fwd_tile_want(layout, tex):
     """Forward/trace kernel lane-tile policy (post component-form tail):
     fewer grid programs win — each costs its scf.if regions and pipeline
@@ -187,6 +205,11 @@ def _fwd_tile_want(layout, tex):
     and beats the grid-program savings, so textured stays 1024."""
     if "MRT_STEP_RT" in os.environ:
         return _TILE_FWD
+    # sphere-cull scenes (Instance class) also keep 1024: the candidate
+    # scheme's per-lane-group demand union widens with the tile until
+    # culling stops biting (the tri scenes' measured behavior)
+    if pallas_hit3._sph_cull_rows(layout) is not None:
+        return 1024
     return 1024 if (layout[2] or tex is not None) else 16384
 
 
@@ -293,6 +316,10 @@ def _gf_min() -> int:
 
 _GF_MAX_GROUPS = 128
 
+# two-level attribute fetch: rows per block (the within-block one-hot's
+# sublane count / the stage-1 MXU K dim)
+_F2B = 64
+
 
 def _pack_gattr(scene, attr):
     """Per-group attribute table for the group-keyed fetch.
@@ -351,6 +378,21 @@ def pack_step(scene, frames, tri_pack):
     P_pad = consts[5].shape[0]  # gid is padded over the tri region
     if attr.shape[0] < P_pad:
         attr = jnp.pad(attr, ((0, P_pad - attr.shape[0]), (0, 0)))
+    gattr = _pack_gattr(scene, attr)
+    attr2 = None
+    if gattr is None and P_pad >= _gf_min():
+        # wide table, too many groups for the group fetch (Instance
+        # class): ship a block-rearranged copy for the TWO-LEVEL one-hot
+        # fetch (see _step_math) — row = hi*_F2B + lo; attr2[j, c*n_hb+b]
+        # = attr[b*_F2B + j, c], so stage 1 is one K=_F2B MXU dot and
+        # stage 2 an (n_hb, RT) mask-reduce per column
+        P2 = -(-P_pad // _F2B) * _F2B
+        if attr.shape[0] < P2:
+            attr = jnp.pad(attr, ((0, P2 - attr.shape[0]), (0, 0)))
+        NC = attr.shape[1]
+        n_hb = P2 // _F2B
+        attr2 = attr.reshape(n_hb, _F2B, NC).transpose(1, 2, 0) \
+            .reshape(_F2B, NC * n_hb)
     L = scene.n_lights
     if L:
         from . import linalg
@@ -362,7 +404,7 @@ def pack_step(scene, frames, tri_pack):
             scene.light_pwr[:, None], scene.light_color], axis=1)  # (L, 11)
     else:
         lights = jnp.zeros((1, 11), jnp.float32)
-    return consts, attr, _pack_gattr(scene, attr), lights, tex
+    return consts, attr, gattr, attr2, lights, tex
 
 
 def _kinds_present(layout):
@@ -709,7 +751,7 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     replays, with the analytic winner-t reconstruction skipped. Textured
     scenes keep the lane-major tail (the texel fetch is MXU lane-major).
     """
-    (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr,
+    (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr, attr2,
      text_r, tmeta, lights) = tables
     RT = o.shape[1]
     P_pad = attr.shape[0]
@@ -757,6 +799,29 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
 
         def fetch(r):  # exit side: same group, exit-winner normal
             return with_na(na_x)
+    elif attr2 is not None:
+        # TWO-LEVEL one-hot fetch for wide tables with too many groups
+        # for the group fetch (Instance class; nofetch ablation put the
+        # flat fetch at 72% of Instance.json's sample time): row =
+        # hi*_F2B + lo; stage 1 gathers position lo of EVERY block with
+        # one K=_F2B MXU dot against a (_F2B, RT) one-hot, stage 2
+        # selects the winner block with an (n_hb, RT) mask-reduce per
+        # column. Stage 2 is an exact 0/1 select of stage-1 values, so
+        # the precision profile equals the flat split-bf16 fetch's.
+        n_hb = attr2.shape[1] // C_at
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_F2B, RT), 0)
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hb, RT), 0)
+
+        def fetch(r):
+            oh_lo = (iota_lo == r % _F2B).astype(jnp.float32)
+            t1 = _onehot_dot(attr2[...], oh_lo,
+                             (((0,), (0,)), ((), ())))  # (NC*n_hb, RT)
+            oh_hi = (iota_hi == r // _F2B).astype(jnp.float32)
+            return jnp.concatenate(
+                [jnp.sum(t1[c * n_hb:(c + 1) * n_hb] * oh_hi, axis=0,
+                         keepdims=True) for c in range(C_at)], axis=0)
+
+        atE = fetch(row)
     else:
         iota_rows = jax.lax.broadcasted_iota(jnp.int32, (P_pad, RT), 0)
 
@@ -958,15 +1023,17 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
             A * a_f, B + A * b_f, resid, live_i.astype(jnp.float32))
 
 
-def _step_kernel(layout, need_exit, L, train, maps, has_tbb, has_gattr,
+def _step_kernel(layout, need_exit, L, train, maps, has_tbb, side_mode,
                  fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest_in):
     tbb = None
     if has_tbb:
         tbb, rest_in = rest_in[0], rest_in[1:]
     attr, rest_in = rest_in[0], rest_in[1:]
-    gattr = None
-    if has_gattr:
+    gattr = attr2 = None
+    if side_mode == "g":
         gattr, rest_in = rest_in[0], rest_in[1:]
+    elif side_mode == "2":
+        attr2, rest_in = rest_in[0], rest_in[1:]
     text_r = tmeta = None
     if maps:
         (text_r, tmeta), rest_in = rest_in[:2], rest_in[2:]
@@ -1013,7 +1080,7 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb, has_gattr,
     B = B_r[...]
     u = u_r[...]
     tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr,
-              text_r, tmeta, lights)
+              attr2, text_r, tmeta, lights)
 
     @body_gate
     def _step_body():
@@ -1040,7 +1107,7 @@ def _step_kernel(layout, need_exit, L, train, maps, has_tbb, has_gattr,
 
 def _call_step(layout, need_exit, L, consts, attr, lights, decay,
                oT, dT, pwrT, liveT, AT_r, BT_r, u8, train=False,
-               tex=None, maps=None, gattr=None):
+               tex=None, maps=None, gattr=None, attr2=None):
     """One kernel invocation on LANE-MAJOR inputs (o/d/A/B as (3, Rp),
     pwr/live as (1, Rp), Rp a multiple of the ray tile). Padding and
     orientation live with the caller so the bounce scan carries dense
@@ -1063,7 +1130,8 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1],
+    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp,
+                    _dense_rows_eff(layout, need_exit),
                     tex_cols=tex[0].shape[1] if tex is not None else 0)
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
@@ -1086,15 +1154,18 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         if L:
             out_shapes.append(jax.ShapeDtypeStruct((L, Rp), f32))
             out_specs.append(pl.BlockSpec((L, RT), lambda i: (0, i)))
+    side = gattr if gattr is not None else attr2
+    side_mode = "g" if gattr is not None else ("2" if attr2 is not None
+                                               else None)
     kern = partial(_step_kernel, layout, need_exit, L, train, maps,
-                   tbb is not None, gattr is not None)
+                   tbb is not None, side_mode)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
         tbb_specs, tbb_args = \
             [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
     at2_specs, at2_args = [], []
-    if gattr is not None:
-        at2_specs, at2_args = [cspec(gattr)], [gattr]
+    if side is not None:
+        at2_specs, at2_args = [cspec(side)], [side]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex
@@ -1147,13 +1218,14 @@ def _res_rows(L, need_exit=False, maps=None):
     return n + ((-n) % 8)
 
 
-def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, has_gattr,
+def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, side_mode,
                   skip, has_c0, want_cout,
                   fr, ipos, pa, pr, valid, gid, AT, HT, thr, *rest):
     rest = list(rest)
     tbb = rest.pop(0) if has_tbb else None
     attr = rest.pop(0)
-    gattr = rest.pop(0) if has_gattr else None
+    gattr = rest.pop(0) if side_mode == "g" else None
+    attr2 = rest.pop(0) if side_mode == "2" else None
     text_r = tmeta = None
     if maps:
         text_r, tmeta = rest.pop(0), rest.pop(0)
@@ -1200,7 +1272,7 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, has_gattr,
     live = live_f > 0.5
     u = u8_r[0, :, :]
     tables = (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr,
-              text_r, tmeta, lights)
+              attr2, text_r, tmeta, lights)
 
     if skip:
         # whole-tile dead skip (see _step_kernel): scratch already holds
@@ -1260,7 +1332,7 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, has_gattr,
 
 def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
                 o0T, d0T, u8s, train=False, tex=None, maps=None,
-                c0=None, want_cout=False, gattr=None):
+                c0=None, want_cout=False, gattr=None, attr2=None):
     """Whole-trace kernel invocation on lane-major primaries (3, Rp) and
     uniforms (K, 8, Rp). Returns (A (3,Rp), B (3,Rp), first_live (1,Rp)
     [, carry (14,Rp) when ``want_cout``][, residuals (K, CR, Rp)]).
@@ -1285,7 +1357,8 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp, layout[1],
+    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp,
+                    _dense_rows_eff(layout, need_exit),
                     tex_cols=tex[0].shape[1] if tex is not None else 0)
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
@@ -1305,16 +1378,19 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         out_shapes.append(jax.ShapeDtypeStruct((K, CR, Rp), f32))
         out_specs.append(pl.BlockSpec((1, CR, RT), lambda i, k: (k, 0, i)))
     skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
+    side = gattr if gattr is not None else attr2
+    side_mode = "g" if gattr is not None else ("2" if attr2 is not None
+                                               else None)
     kern = partial(_trace_kernel, layout, need_exit, L, K, train, maps,
-                   tbb is not None, gattr is not None, skip, c0 is not None,
+                   tbb is not None, side_mode, skip, c0 is not None,
                    want_cout)
     tbb_specs, tbb_args = [], []
     if tbb is not None:
         tbb_specs, tbb_args = \
             [pl.BlockSpec(memory_space=pltpu.SMEM)], [tbb]
     at2_specs, at2_args = [], []
-    if gattr is not None:
-        at2_specs, at2_args = [cspec(gattr)], [gattr]
+    if side is not None:
+        at2_specs, at2_args = [cspec(side)], [side]
     tex_specs, tex_args = [], []
     if tex is not None:
         TEXT, meta = tex
@@ -3602,7 +3678,7 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 _TRACE_FNS: dict = {}
 
 
-def _get_trace_fn(layout, need_exit, L, K, has_gattr, maps=None):
+def _get_trace_fn(layout, need_exit, L, K, side_mode, maps=None):
     """Custom-vjp whole-trace: (consts, attr, gattr?, lights, dk, oT, dT,
     u8s[, TEXT, metaf]) -> (A (3,Rp), B (3,Rp), first_live (1,Rp)).
     ``gattr`` is derived from ``attr`` outside (a gather), used by the
@@ -3613,7 +3689,7 @@ def _get_trace_fn(layout, need_exit, L, K, has_gattr, maps=None):
     as trailing args; both are constants of the trace (the nearest-texel
     fetch is piecewise-constant — see :func:`enabled_for`) and get zero
     cotangents."""
-    key = (layout, need_exit, L, K, has_gattr, maps)
+    key = (layout, need_exit, L, K, side_mode, maps)
     if key in _TRACE_FNS:
         return _TRACE_FNS[key]
 
@@ -3622,25 +3698,33 @@ def _get_trace_fn(layout, need_exit, L, K, has_gattr, maps=None):
         if maps is not None:
             tex = (args[-2], args[-1])
             args = args[:-2]
-        if has_gattr:
+        if side_mode:
             return args[0], args[1], args[2], args[3:], tex
         return args[0], args[1], None, args[2:], tex
 
+    def side_kw(side):
+        if side_mode == "g":
+            return {"gattr": side}
+        if side_mode == "2":
+            return {"attr2": side}
+        return {}
+
     @jax.custom_vjp
     def fn(*args):
-        consts, attr, gattr, (lights, dk, oT, dT, u8s), tex = split(args)
+        consts, attr, side, (lights, dk, oT, dT, u8s), tex = split(args)
         return _call_trace(layout, need_exit, L, K, consts, attr, lights,
-                           dk, oT, dT, u8s, tex=tex, maps=maps, gattr=gattr)
+                           dk, oT, dT, u8s, tex=tex, maps=maps,
+                           **side_kw(side))
 
     def fn_fwd(*args):
-        consts, attr, gattr, (lights, dk, oT, dT, u8s), tex = split(args)
+        consts, attr, side, (lights, dk, oT, dT, u8s), tex = split(args)
         A, B, fl, res = _call_trace(layout, need_exit, L, K, consts, attr,
                                     lights, dk, oT, dT, u8s, train=True,
-                                    tex=tex, maps=maps, gattr=gattr)
-        return (A, B, fl), (consts, attr, gattr, lights, dk, res, u8s, tex)
+                                    tex=tex, maps=maps, **side_kw(side))
+        return (A, B, fl), (consts, attr, side, lights, dk, res, u8s, tex)
 
     def fn_bwd(resid, cts):
-        consts, attr, gattr, lights, dk, res, u8s, tex = resid
+        consts, attr, side, lights, dk, res, u8s, tex = resid
         ctA, ctB, _ctfl = cts
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_AT,
          d_HT) = _call_trace_bwd(layout, need_exit, L, K, consts, attr,
@@ -3653,8 +3737,11 @@ def _get_trace_fn(layout, need_exit, L, K, has_gattr, maps=None):
                     None if consts[9] is None
                     else jnp.zeros_like(consts[9]))
         out = (d_consts, d_attr)
-        if has_gattr:
-            out = out + (jnp.zeros_like(gattr),)
+        if side_mode:
+            # side tables (group table / block-rearranged copy) are
+            # derived from attr OUTSIDE; the in-kernel d_attr is already
+            # the complete table gradient, so they get zero cotangents
+            out = out + (jnp.zeros_like(side),)
         out = out + (d_lights, d_dk, d_oT, d_dT, jnp.zeros_like(u8s))
         if maps is not None:
             out = out + (jnp.zeros_like(tex[0]), jnp.zeros_like(tex[1]))
@@ -3691,7 +3778,7 @@ def trace_enabled(scene, Rp, inference=False) -> bool:
 
 
 def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
-                 tex=None, inference=False, gattr=None):
+                 tex=None, inference=False, gattr=None, attr2=None):
     """Whole-trace entry point on lane-major primaries; the scan-free
     replacement for bounce+1 :func:`step_packed` calls. Returns
     (A (3,Rp), B (3,Rp), first_live (1,Rp) f32)."""
@@ -3705,19 +3792,22 @@ def trace_packed(scene, consts, attr, lights, decay, oT, dT, u8s,
             return _call_trace(layout, scene.any_refract, scene.n_lights, K,
                                consts, attr, lights,
                                jnp.asarray(decay, jnp.float32), oT, dT, u8s,
-                               tex=tex, maps=maps, gattr=gattr)
+                               tex=tex, maps=maps, gattr=gattr, attr2=attr2)
         # training: the shape table rides as f32 (custom_vjp cotangents
         # must be floats; the kernels re-cast entries to int32 on read)
         tex_args = (tex[0], tex[1].astype(jnp.float32))
+    side = gattr if gattr is not None else attr2
+    side_mode = "g" if gattr is not None else ("2" if attr2 is not None
+                                               else None)
     fn = _get_trace_fn(layout, scene.any_refract, scene.n_lights, K,
-                       gattr is not None, maps)
-    gf = (gattr,) if gattr is not None else ()
+                       side_mode, maps)
+    gf = (side,) if side is not None else ()
     return fn(consts, attr, *gf, lights, jnp.asarray(decay, jnp.float32),
               oT, dT, u8s, *tex_args)
 
 
 def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
-                  tex=None, c0=None, gattr=None):
+                  tex=None, c0=None, gattr=None, attr2=None):
     """One segment of a whole-trace render (INFERENCE only, no VJP).
 
     Like :func:`trace_packed` but resumable: with ``c0`` (the (14, Rp)
@@ -3734,7 +3824,7 @@ def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
     return _call_trace(layout, scene.any_refract, scene.n_lights, K,
                        consts, attr, lights, jnp.asarray(decay, jnp.float32),
                        oT, dT, u8s, tex=tex, maps=maps, c0=c0,
-                       want_cout=True, gattr=gattr)
+                       want_cout=True, gattr=gattr, attr2=attr2)
 
 
 # --- differentiable wrapper -------------------------------------------------
@@ -3742,42 +3832,50 @@ def trace_segment(scene, consts, attr, lights, decay, oT, dT, u8s,
 _STEP_FNS: dict = {}
 
 
-def _get_step_fn(layout, need_exit, L, has_gattr=False):
+def _get_step_fn(layout, need_exit, L, side_mode=None):
     """Custom-vjp bounce step on LANE-MAJOR carries (o/d/A/B (3,Rp),
     pwr/live (1,Rp), u8 (8,Rp); Rp a multiple of `_TILE_PAD`). The scan in
     `tracer.trace_fused` carries exactly these rows, so neither direction
     pays per-step transposes."""
-    key = (layout, need_exit, L, has_gattr)
+    key = (layout, need_exit, L, side_mode)
     if key in _STEP_FNS:
         return _STEP_FNS[key]
 
     def split(args):
-        if has_gattr:
+        if side_mode:
             return args[0], args[1], args[2], args[3:]
         return args[0], args[1], None, args[2:]
 
+    def side_kw(side):
+        if side_mode == "g":
+            return {"gattr": side}
+        if side_mode == "2":
+            return {"attr2": side}
+        return {}
+
     @jax.custom_vjp
     def fn(*args):
-        consts, attr, gattr, (lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
-                              u8) = split(args)
+        consts, attr, side, (lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
+                             u8) = split(args)
         return _call_step(layout, need_exit, L, consts, attr, lights, dk,
-                          oT, dT, pwrT, liveT, AT_r, BT_r, u8, gattr=gattr)
+                          oT, dT, pwrT, liveT, AT_r, BT_r, u8,
+                          **side_kw(side))
 
     def fn_fwd(*args):
-        consts, attr, gattr, (lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
-                              u8) = split(args)
+        consts, attr, side, (lights, dk, oT, dT, pwrT, liveT, AT_r, BT_r,
+                             u8) = split(args)
         out, resid = _call_step(layout, need_exit, L, consts, attr, lights,
                                 dk, oT, dT, pwrT, liveT, AT_r, BT_r, u8,
-                                train=True, gattr=gattr)
+                                train=True, **side_kw(side))
         te, tx, row, xrow = resid[:4]
         lok = resid[4] if L else te  # placeholder when L == 0
         res_lane = (oT, dT, pwrT, liveT, AT_r, BT_r, u8,
                     te, tx, row, xrow, lok)
-        res = (attr, gattr, lights, dk, res_lane, consts)
+        res = (attr, side, lights, dk, res_lane, consts)
         return out, res
 
     def fn_bwd(res, cts):
-        attr, gattr, lights, dk, res_lane, consts = res
+        attr, side, lights, dk, res_lane, consts = res
         AT, HT = consts[6], consts[7]
         ct = (cts[0], cts[1], cts[2], cts[4], cts[5])  # live2 ct dropped
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_pwrT, d_AT_r, d_BT_r,
@@ -3793,8 +3891,8 @@ def _get_step_fn(layout, need_exit, L, has_gattr=False):
         u8_ct = jnp.zeros((n_uni(need_exit), d_pwrT.shape[1]),
                           d_pwrT.dtype)
         out = (d_consts, d_attr)
-        if has_gattr:
-            out = out + (jnp.zeros_like(gattr),)
+        if side_mode:
+            out = out + (jnp.zeros_like(side),)
         return out + (d_lights, d_dk,
                       d_oT, d_dT, d_pwrT, live_ct, d_AT_r, d_BT_r, u8_ct)
 
@@ -3804,7 +3902,7 @@ def _get_step_fn(layout, need_exit, L, has_gattr=False):
 
 
 def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
-                tex=None, gattr=None):
+                tex=None, gattr=None, attr2=None):
     """Lane-major bounce step from pre-packed tables (the scan hot path).
 
     ``rayT`` = (oT (3,Rp), dT (3,Rp), pwrT (1,Rp), liveT (1,Rp) f32);
@@ -3820,11 +3918,14 @@ def step_packed(scene, consts, attr, lights, decay, rayT, A_T, B_T, u8,
             layout, scene.any_refract, scene.n_lights, consts, attr,
             lights, jnp.asarray(decay, jnp.float32),
             oT, dT, pwrT, liveT, A_T, B_T, u8, tex=tex, maps=maps,
-            gattr=gattr)
+            gattr=gattr, attr2=attr2)
     else:
+        side = gattr if gattr is not None else attr2
+        side_mode = "g" if gattr is not None else ("2" if attr2 is not None
+                                                   else None)
         fn = _get_step_fn(layout, scene.any_refract, scene.n_lights,
-                          gattr is not None)
-        gf = (gattr,) if gattr is not None else ()
+                          side_mode)
+        gf = (side,) if side is not None else ()
         o2, d2, pwr2, live2, A2, B2 = fn(
             consts, attr, *gf, lights, jnp.asarray(decay, jnp.float32),
             oT, dT, pwrT, liveT, A_T, B_T, u8)
@@ -3855,7 +3956,8 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         from . import intersect
 
         tri_pack_ = intersect.triangle_pack(scene, frames)
-    consts, attr, gattr, lights, tex = pack_step(scene, frames, tri_pack_)
+    consts, attr, gattr, attr2, lights, tex = pack_step(scene, frames,
+                                                        tri_pack_)
     if scene.any_refract:
         u8 = jnp.concatenate([u.T, u_emit[None]], axis=0)
     else:  # packed rows [u0 u1 u2 u_emit] (see n_uni)
@@ -3872,7 +3974,8 @@ def step(scene, frames, decay, ray, A, B, u, u_emit, tri_pack=None):
         u8 = jnp.pad(u8, ((0, 0), (0, pad)))
     rayT = (o.T, d.T, pwr[None], live.astype(jnp.float32)[None])
     rayT2, A2, B2 = step_packed(scene, consts, attr, lights, decay,
-                                rayT, A.T, B.T, u8, tex=tex, gattr=gattr)
+                                rayT, A.T, B.T, u8, tex=tex, gattr=gattr,
+                                attr2=attr2)
     o2, d2, pwr2, live2 = rayT2
     return ((o2.T[:R], d2.T[:R], pwr2[0, :R], live2[0, :R] > 0.5),
             A2.T[:R], B2.T[:R], live2[0, :R] > 0.5)

@@ -205,3 +205,74 @@ def test_occl_early_exit_and_nocull_match(monkeypatch):
     monkeypatch.setenv("MRT_TRI_NOCULL", "1")
     nocull = run()
     np.testing.assert_array_equal(nocull, base)
+
+
+def test_sphere_cull_blocks_match_dense(monkeypatch):
+    """Instance-class scenes (a long sphere segment) sweep _CB-row
+    candidate blocks gated by per-block AABBs. At a 1024-lane tile the
+    step-kernel path must produce bitwise-identical radiance with
+    culling on, off (MRT_TRI_NOCULL), and sub-tile variants, and match
+    the dense jnp reference in expectation (same RNG: exactly)."""
+    from micro_raytracer_tpu.models.compiler import compile_camera
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+
+    rng = np.random.default_rng(5)
+    objs = []
+    for x in range(8):
+        for y in range(8):
+            for z in range(5):
+                objs.append({
+                    "type": "sphere", "r": 0.18,
+                    "pos": [x * 0.5 - 1.75, y * 0.5 + 1.0, z * 0.5 - 1.0],
+                    "mat": {"rough": float(rng.uniform(0.2, 1.0)),
+                            "albedo": [float(v) for v in
+                                       rng.uniform(0.2, 1.0, 3)]},
+                })
+    scene = compile_scene(schema.SceneConfig.from_json({
+        "renderer": objs,
+        "light": [{"type": "point", "pos": [0, -1, 1.5], "pwr": 0.7}],
+        "sky": {"color": [0.25, 0.3, 0.35], "pwr": 0.5},
+    }))
+    assert pallas_hit3._sph_cull_rows(
+        pallas_hit3._seg_layout(scene.kind_counts)) is not None
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2.5, 0]}))
+    xs, ys = np.meshgrid(np.arange(32), np.arange(32))
+    coords = jnp.asarray(np.stack([xs.ravel() * 1.8 + 2,
+                                   ys.ravel() * 1.8 + 2], -1), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "1")
+
+    def run():
+        return np.asarray(trace_radiance(scene, cam, (64, 64), 3,
+                                         jnp.float32(0.15), coords, key,
+                                         inference=True))
+
+    monkeypatch.setenv("MRT_TRI_NOCULL", "1")
+    base = run()
+    assert base.max() > 0
+    monkeypatch.delenv("MRT_TRI_NOCULL")
+    culled = run()
+    np.testing.assert_array_equal(culled, base)
+    for h in ("1", "4"):
+        monkeypatch.setenv("MRT_TRI_SUBTILE", h)
+        sub = run()
+        np.testing.assert_array_equal(sub, base)
+    monkeypatch.delenv("MRT_TRI_SUBTILE")
+    # two-level attribute fetch (attr2): this scene has 320 groups (>
+    # _GF_MAX_GROUPS, so no group fetch); lowering the width threshold
+    # forces the block-rearranged fetch, which selects the same rows
+    # bitwise (stage 1 is the same 2-pass split dot with one nonzero
+    # one-hot column, stage 2 an exact 0/1 select)
+    monkeypatch.setenv("MRT_GF_MIN", "64")
+    two = run()
+    np.testing.assert_array_equal(two, base)
+    monkeypatch.delenv("MRT_GF_MIN")
+    # dense jnp reference, same RNG stream: agreement is per-pixel except
+    # where a winner-t ulp difference between the implementations flips a
+    # bounce path (sphere silhouettes; same chaos as the tri bad_frac)
+    monkeypatch.setenv("MRT_STEP", "0")
+    monkeypatch.setenv("MRT_HIT3", "0")
+    dense = run()
+    bad = np.abs(culled - dense).max(axis=-1) > 0.05
+    assert bad.mean() < 0.02, f"bad_frac {bad.mean():.4f}"

@@ -115,7 +115,8 @@ def main(argv=None) -> int:
         tri_pack = None
         if scene.kind_counts[schema.KIND_TRIANGLE]:
             tri_pack = intersect.triangle_pack(s2, frames)
-        consts, attr, _gattr, lights, _ = pallas_step.pack_step(s2, frames, tri_pack)
+        consts, attr, _gattr, _attr2, lights, _ = pallas_step.pack_step(
+            s2, frames, tri_pack)
         return jnp.sum(attr[0]) + jnp.sum(consts[0][0])
     out["pack_ms"] = round((best(loop(pack_body), key) - base) / K * 1e3, 3)
 

@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     tri_pack = None
     if scene.kind_counts[schema.KIND_TRIANGLE]:
         tri_pack = intersect.triangle_pack(scene, frames)
-    consts, attr, _gattr, lights, _tex = pallas_step.pack_step(
+    consts, attr, _gattr, _attr2, lights, _tex = pallas_step.pack_step(
         scene, frames, tri_pack)
     layout = pallas_step._seg_layout(scene.kind_counts)
     need_exit, L = scene.any_refract, scene.n_lights
