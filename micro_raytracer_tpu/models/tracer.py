@@ -151,7 +151,12 @@ def _compact_cuts(scene: SceneArrays, steps: int, inference: bool):
     if env != "1" and not (scene.kind_counts[schema.KIND_TRIANGLE]
                            or sph_cull):
         return []
-    at = os.environ.get("MRT_COMPACT_AT", "3,6")
+    # measured defaults: {3,6} best on Mesh.json (16.6 ms/sample vs 16.8+
+    # for the variants, round 4); sphere-cull scenes prefer one more cut
+    # ({2,4,6}: Instance 4.10M vs 3.93M rays/s, round 5)
+    default_at = "2,4,6" if sph_cull and not \
+        scene.kind_counts[schema.KIND_TRIANGLE] else "3,6"
+    at = os.environ.get("MRT_COMPACT_AT", default_at)
     cuts = sorted({int(x) for x in at.split(",") if x.strip()})
     return [c for c in cuts if 0 < c < steps]
 
