@@ -861,10 +861,16 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     if want_resid:
         # texrows (maps only) is appended by the component tail below —
         # the training path for textured scenes always runs it (their
-        # forward tile is lane-aligned; asserted there)
+        # forward tile is lane-aligned; asserted there). gfres (group
+        # scenes): the sweep-reduced winner group + object-space normal,
+        # saved so the backward fetches from the per-group table (see
+        # _res_rows). na_e is the EXACT winner-row value (a masked-min
+        # reduction, not a dot), so the backward's linearization point
+        # is the true table value, like its 3-pass fetches.
+        gfres = [wg] + list(na_e) if use_gf else []
         resid = [te, tx if need_exit else te, row,
                  xrow if need_exit else row,
-                 [lk.astype(jnp.float32) for lk in light_ok], []]
+                 [lk.astype(jnp.float32) for lk in light_ok], [], gfres]
 
     # no-mesh refractive scenes (see _same_row): skip the exit-side
     # one-hot fetch and reuse the entry bundle (bit-identical: the
@@ -1207,14 +1213,24 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
 _R_TE, _R_TX, _R_ROW, _R_XROW, _R_LOK = 11, 12, 13, 14, 15
 
 
-def _res_rows(L, need_exit=False, maps=None):
+def _gf_res_base(L, need_exit, maps):
+    """Row index of the group-fetch residuals [wg | na0 na1 na2] (present
+    only when the scene uses the group-keyed attribute fetch)."""
+    return _R_LOK + L + _tex_res_rows_side(maps) * (2 if need_exit else 1)
+
+
+def _res_rows(L, need_exit=False, maps=None, gf=False):
     """Residual rows per step: o(3) d(3) pwr(1) live(1) A(3) te tx row xrow
     + L light-occlusion rows [+ saved texel values, entry then exit side —
-    see :func:`_tex_res_rows_side`], padded to a sublane multiple. ``B``
-    is not saved: it only ever enters additively (B2 = B + A*b), so its
-    value is irrelevant to every cotangent and its own cotangent is the
-    constant ctB of the trace output."""
-    n = _R_LOK + L + _tex_res_rows_side(maps) * (2 if need_exit else 1)
+    see :func:`_tex_res_rows_side`] [+ winner group and object-space
+    normal, ``gf`` scenes — the sweep already reduced both, and saving
+    them lets the whole-trace backward fetch attributes from the tiny
+    per-group table instead of the flat (P_pad, RT) one-hot: the fetch
+    was ~4.7 of Mesh.json's 12.7 ms/sample backward], padded to a
+    sublane multiple. ``B`` is not saved: it only ever enters additively
+    (B2 = B + A*b), so its value is irrelevant to every cotangent and
+    its own cotangent is the constant ctB of the trace output."""
+    n = _gf_res_base(L, need_exit, maps) + (4 if gf else 0)
     return n + ((-n) % 8)
 
 
@@ -1300,7 +1316,7 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, side_mode,
             fl_o[...] = live_hit_f
 
         if train:
-            te, tx, row, xrow, lok, texres = resid
+            te, tx, row, xrow, lok, texres, gfres = resid
             res_o[0, 0:3, :] = o
             res_o[0, 3:6, :] = d
             res_o[0, 6:7, :] = pwr
@@ -1315,6 +1331,9 @@ def _trace_kernel(layout, need_exit, L, K, train, maps, has_tbb, side_mode,
             base = _R_LOK + L
             for j, trow in enumerate(texres):
                 res_o[0, base + j:base + j + 1, :] = trow
+            gbase = base + len(texres)
+            for j, grow in enumerate(gfres):
+                res_o[0, gbase + j:gbase + j + 1, :] = grow
         carry_s[0:3, :] = o2
         carry_s[3:6, :] = d2
         carry_s[6:7, :] = pwr2
@@ -1365,7 +1384,7 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
     NU = n_uni(need_exit)
     u8spec = pl.BlockSpec((1, NU, RT), lambda i, k: (k, 0, i))
     f32 = jnp.float32
-    CR = _res_rows(L, need_exit, maps)
+    CR = _res_rows(L, need_exit, maps, gf=gattr is not None)
     r14 = pl.BlockSpec((14, RT), lambda i, k: (0, i))
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
@@ -3325,10 +3344,11 @@ def _uncomp_v3(v):
 
 
 def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
-                      maps, *refs):
+                      maps, has_gf, *refs):
     same_row = _same_row(layout, need_exit)
     refs = list(refs)
     attr = refs.pop(0)
+    gattr = refs.pop(0) if has_gf else None
     if n_tri:
         ATg, HTg = refs.pop(0), refs.pop(0)
     lights_s, dk_s = refs.pop(0), refs.pop(0)
@@ -3424,11 +3444,38 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
                 return jnp.zeros((tab.shape[1], RT), jnp.float32)
 
         NC = attr.shape[1]
+        use_gf = has_gf and not need_exit
+        if use_gf:
+            # group-keyed backward fetch: the residual rows carry the
+            # sweep's EXACT winner group and object-space normal, so the
+            # per-row columns come from the residual and every shared
+            # column from the tiny (G_pad, NC) group table — no flat
+            # (P_pad, RT) fetch (it was ~4.7 of Mesh.json's 12.7
+            # ms/sample backward). ohE is still built once below, for
+            # the na-column scatter.
+            gb = _gf_res_base(L, need_exit, maps)
+            wg_l = res[gb:gb + 1, :]
+            wg_i = jnp.where(wg_l < _BIG * 0.5, wg_l, -1.0) \
+                .astype(jnp.int32)
+            G_pad = gattr.shape[0]
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (G_pad, RT), 0)
+            ohg = (iota_g == wg_i).astype(jnp.float32)
+            at_g = fetch_lane(gattr, ohg)                  # (NC, RT)
+            atE_cols = []
+            for c in range(NC):
+                if _C_NA <= c < _C_NA + 3:
+                    j = gb + 1 + (c - _C_NA)
+                    atE_cols.append(_compL(res[j:j + 1, :]))
+                else:
+                    atE_cols.append(_compL(at_g[c:c + 1, :]))
+            atE_tuple = tuple(atE_cols)
         ohE = (iota_rows == row_i).astype(jnp.float32)
-        atE_l = fetch_lane(attr, ohE)                      # (NC, RT)
+        if not use_gf:
+            atE_l = fetch_lane(attr, ohE)                  # (NC, RT)
+            atE_tuple = tuple(_compL(atE_l[c:c + 1, :]) for c in range(NC))
         p = {"o": _compL_v3(o_l), "d": _compL_v3(d_l),
              "pwr": _compL(res[6:7, :]), "A": _compL_v3(A_l),
-             "atE": tuple(_compL(atE_l[c:c + 1, :]) for c in range(NC))}
+             "atE": atE_tuple}
         zeros8 = jnp.zeros_like(p["pwr"])
         # B enters only additively (B2 = B + A*b): its value shapes no
         # cotangent, so the replay runs it at zero instead of saving it
@@ -3543,6 +3590,12 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
         if "noscat" in ablate:
             d_at = jnp.zeros_like(dattr_o)
         else:
+            # the gf path scatters per-row like the flat path (fr/ip/r/na
+            # columns pull back to PER-ROW leaves — frames, inst_pos,
+            # prim_r rows are replicated per primitive, so a group-table
+            # fold would concentrate their gradients on one row; round-5
+            # bug caught by grad_check --scene Mesh, inst_dir rel 3.8) —
+            # only the FETCH side uses the group table
             d_at = scat([g["atE"][c] for c in range(NC)], ohE)
             if need_exit and not same_row:
                 d_at = d_at + scat([g["atX"][c] for c in range(NC)],
@@ -3572,9 +3625,12 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 
 
 def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
-                    res, u8s, ctA, ctB, maps=None):
+                    res, u8s, ctA, ctB, maps=None, gattr=None):
     """Whole-trace backward: returns (d_attr, d_lights, d_dk, d_oT, d_dT,
-    d_AT, d_HT) for the trace's differentiable inputs."""
+    d_AT, d_HT[, d_gattr]) for the trace's differentiable inputs. With
+    ``gattr`` (entry-only group scenes) the attribute fetch runs off the
+    group table + residual normals and the shared-column cotangents come
+    back as ``d_gattr`` (the caller folds them onto the table)."""
     segs, tri_start, n_tri = layout
     AT, HT = consts[6], consts[7]
     ATp = pallas_tri._pad_p(AT)
@@ -3582,7 +3638,10 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
     Rp = ctA.shape[1]
     P_pad = attr.shape[0]
     MR = _misc_rows(L)
-    CR = _res_rows(L, need_exit, maps)
+    has_gf = gattr is not None and not need_exit
+    if gattr is not None and need_exit:
+        gattr = None  # exit-side normals are not saved; flat fetch
+    CR = _res_rows(L, need_exit, maps, gf=gattr is not None)
     dk_s = jnp.asarray(dk, jnp.float32).reshape(1, 1)
     # 16384 lanes fit only the lean bodies: textured replays carry the
     # atlas split blocks + dual-side texel chains and overflow scoped
@@ -3623,6 +3682,9 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 
     in_specs = [cspec(attr)]
     args = [attr]
+    if has_gf:
+        in_specs.append(cspec(gattr))
+        args.append(gattr)
     if n_tri:
         ATg, HTg = ATp[:, 6:9], HTp[:, 2:3]
         in_specs += [cspec(ATg), cspec(HTg)]
@@ -3645,7 +3707,7 @@ def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
 
     skip = os.environ.get("MRT_STEP_SKIP", "1") == "1"
     kern = partial(_trace_bwd_kernel, layout, need_exit, L, K, n_tri,
-                   tri_start, skip, maps)
+                   tri_start, skip, maps, has_gf)
     outs = list(pl.pallas_call(
         kern,
         grid=(Rp // RT, K),
@@ -3726,10 +3788,11 @@ def _get_trace_fn(layout, need_exit, L, K, side_mode, maps=None):
     def fn_bwd(resid, cts):
         consts, attr, side, lights, dk, res, u8s, tex = resid
         ctA, ctB, _ctfl = cts
+        gf = side_mode == "g" and not need_exit
         (d_attr, d_lights, d_dk, d_oT, d_dT, d_AT,
          d_HT) = _call_trace_bwd(layout, need_exit, L, K, consts, attr,
                                  lights, dk, res, u8s, ctA, ctB,
-                                 maps=maps)
+                                 maps=maps, gattr=side if gf else None)
         d_consts = (jnp.zeros_like(consts[0]), jnp.zeros_like(consts[1]),
                     jnp.zeros_like(consts[2]), jnp.zeros_like(consts[3]),
                     jnp.zeros_like(consts[4]), jnp.zeros_like(consts[5]),

@@ -205,3 +205,36 @@ def test_winner_t_bwd_both_matches_two_sides():
         np.testing.assert_allclose(
             np.asarray(d_d_m[k]), np.asarray(d_d_e[k] + d_d_x[k]),
             rtol=2e-5, atol=1e-6, err_msg=f"d_d[{k}]")
+
+
+def test_full_trace_grad_group_fetch_matches_flat(monkeypatch):
+    """Whole-trace training with the group-keyed fetch (forced via
+    MRT_GF_MIN on a small opaque scene): the backward reads the winner
+    group + normal from residual rows and fetches shared columns off the
+    (G_pad, NC) table, with shared-column cotangents folded onto the
+    table's first rows. Gradients must match the flat-fetch path's for
+    every leaf (same math, different summation association)."""
+    scene = compile_scene(schema.SceneConfig.from_json(scenes()["opaque"]))
+    assert not scene.any_refract
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(12)
+
+    def loss(albedo, lpwr, ipos, rough):
+        s = dataclasses.replace(scene, mat_albedo=albedo, light_pwr=lpwr,
+                                inst_pos=ipos, mat_rough=rough)
+        rad = tracer.trace_radiance(s, cam, (64, 64), 4, jnp.float32(0.15),
+                                    coords, key)
+        return jnp.mean(rad ** 2)
+
+    args = (scene.mat_albedo, scene.light_pwr, scene.inst_pos,
+            scene.mat_rough)
+    monkeypatch.setenv("MRT_STEP", "1")
+    g_flat = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setenv("MRT_GF_MIN", "8")
+    g_gf = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    for r, k in zip(g_flat, g_gf):
+        assert np.asarray(r).any()
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=2e-5, atol=1e-7)
