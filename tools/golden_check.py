@@ -73,7 +73,21 @@ GOLDEN_FILES = {
 }
 
 
-def run_tri_self(sample: int, save_dir: str | None = None) -> dict:
+SELF_GOLDENS = {
+    # name -> (scene file, res, MAE gate, bad_frac gate, nocull gate)
+    "tri_self": ("/root/reference/example/Mesh.json", (320, 180),
+                 3.0, 0.20, 0.05),
+    # sphere-segment candidate culling (Instance class, round 5): same
+    # conservative-culling invariant as tri_self — cull on/off must
+    # agree per-pixel (spheres have no phantom-hit analog, so the gate
+    # is tighter than the chaotic cross-implementation bad_frac)
+    "sph_self": ("/root/reference/example/Instance.json", (320, 180),
+                 3.0, 0.20, 0.01),
+}
+
+
+def run_tri_self(sample: int, save_dir: str | None = None,
+                 name: str = "tri_self") -> dict:
     """Triangle-scene self-golden: Mesh.json rendered by the production
     Pallas path vs the dense jnp sweep, SAME device and RNG streams.
 
@@ -101,13 +115,14 @@ def run_tri_self(sample: int, save_dir: str | None = None) -> dict:
     from micro_raytracer_tpu.frontends import cli
     from micro_raytracer_tpu.models.render import render_image
 
+    scene_file, (rw, rh), _mg, _bg, _ng = SELF_GOLDENS[name]
+
     def render(env):
         saved = {k: _os.environ.get(k) for k in env}
         _os.environ.update(env)
         try:
             cfg = cli.parse_render(cli.build_parser().parse_args(
-                ["/root/reference/example/Mesh.json",
-                 "--res", "320", "180"]))
+                [scene_file, "--res", str(rw), str(rh)]))
             cfg.rt.sample = sample
             return render_image(cfg).astype(np.float32)
         finally:
@@ -138,10 +153,10 @@ def run_tri_self(sample: int, save_dir: str | None = None) -> dict:
 
         os.makedirs(save_dir, exist_ok=True)
         Image.fromarray(ours.astype(np.uint8)).save(
-            os.path.join(save_dir, "tri_self_ours.png"))
+            os.path.join(save_dir, f"{name}_ours.png"))
         Image.fromarray(dense.astype(np.uint8)).save(
-            os.path.join(save_dir, "tri_self_dense.png"))
-    return {"name": "tri_self", "mae_u8": round(mae, 2),
+            os.path.join(save_dir, f"{name}_dense.png"))
+    return {"name": name, "mae_u8": round(mae, 2),
             "bad_frac": round(bad_frac, 4),
             "nocull_frac": round(nocull_frac, 4),
             "shape": list(ours.shape), "sample": sample}
@@ -185,7 +200,8 @@ def run_golden(name: str, sample: int, save_dir: str | None = None) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sample", type=int, default=64)
-    p.add_argument("--scenes", default="out0,out1,out2,out3,out4,tri_self",
+    p.add_argument("--scenes",
+                   default="out0,out1,out2,out3,out4,tri_self,sph_self",
                    help="comma-separated golden names")
     p.add_argument("--save", default=None, help="dir to save our renders")
     args = p.parse_args(argv)
@@ -194,15 +210,17 @@ def main(argv=None) -> int:
     tri_ok = True
     for name in args.scenes.split(","):
         name = name.strip()
-        if name == "tri_self":
-            r = run_tri_self(min(args.sample, 32), args.save)
+        if name in SELF_GOLDENS:
+            r = run_tri_self(min(args.sample, 32), args.save, name=name)
             # identical RNG streams on both sides: the MAE gate is tight
             # (phantom silhouette drift, ~0.7% of pixels historically);
             # bad_frac (chaotic per-pixel splits, 12.9% at round 4) and
-            # nocull_frac (pure culling deviation, sub-1%) are gated
-            # against drift from those recorded levels
-            tri_ok = (r["mae_u8"] < 3.0 and r["bad_frac"] < 0.20
-                      and r["nocull_frac"] < 0.05)
+            # nocull_frac (pure culling deviation) are gated against
+            # drift from the recorded levels (per-scene, SELF_GOLDENS)
+            _f, _res, mg, bg, ng = SELF_GOLDENS[name]
+            ok_s = (r["mae_u8"] < mg and r["bad_frac"] < bg
+                    and r["nocull_frac"] < ng)
+            tri_ok = tri_ok and ok_s
             print(json.dumps(r))
             continue
         r = run_golden(name, args.sample, args.save)
