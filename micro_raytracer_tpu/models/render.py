@@ -277,19 +277,27 @@ class Renderer:
     def img(self, host: bool | None = None) -> np.ndarray:
         """Tonemapped, SSAA-downsampled (h, w, 3) uint8 image (sampler.rs:80-99).
 
-        ``host=None`` (auto): on remote-tunneled accelerators the
-        finalize runs on the LOCAL cpu backend from one framebuffer
-        fetch — the device tonemap program costs ~15 s of per-process
-        remote compile/warmup, far more than fetching the framebuffer
-        (~2 s for the 2160^2 flagship) + CPU tonemap (round-5 measured).
-        ``host=False`` forces the on-device path (long-lived processes
-        amortize its warmup; only the u8 image then crosses the link).
+        ``host=None`` (auto): on accelerators the finalize runs on the
+        LOCAL cpu backend from one framebuffer fetch. On a tunneled
+        runtime that saves the device tonemap program's ~15 s
+        per-process remote compile/warmup against a ~2 s fetch (round-5
+        measured, 2160^2 flagship); on a genuinely local accelerator
+        (indistinguishable here — the tunnel also reports platform
+        "tpu") it costs a fast local fetch + ~0.5 s CPU tonemap versus
+        a one-time compile, a mild loss at worst. ``host=False`` (or
+        ``MRT_DEVICE_TONEMAP=1``) forces the on-device path for
+        long-lived local processes; only the u8 image then crosses.
         """
+        import os
+
         if host is None:
-            try:
-                host = jax.devices()[0].platform not in ("cpu",)
-            except Exception:  # pragma: no cover
+            if os.environ.get("MRT_DEVICE_TONEMAP", "0") == "1":
                 host = False
+            else:
+                try:
+                    host = jax.devices()[0].platform not in ("cpu",)
+                except Exception:  # pragma: no cover
+                    host = False
         if not host:
             out = tonemap.finalize(self._device_frame(),
                                    jnp.float32(max(self.count, 1)),

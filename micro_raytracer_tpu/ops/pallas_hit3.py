@@ -236,7 +236,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
         inside its block AABB — no phantom analog)."""
         n_sb = (n_rows + _CB - 1) // _CB
         off = _bb_sph_off(layout)
-        H = _SUBTILE if _SUBTILE in (2, 4, 8) else 1
+        H = _SUBTILE() if _SUBTILE() in (2, 4, 8) else 1
         RW = RT // H
         GR = 8 // H
         invd = [1.0 / jnp.where(d[k:k + 1, :] == 0.0, EPS, d[k:k + 1, :])
@@ -291,7 +291,15 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
 
         def body(b, c, oH, dH, iota_b):
             t_best, r_best, g_best, na_best = c
-            start = s0 + b * _CB
+            # clamp the LAST block of a segment whose length is not a
+            # _CB multiple: the unclamped slice would run past the table
+            # (dynamic_slice silently clamps the START, mislabeling every
+            # row of the block by the overhang — a real round-5 bug on
+            # Instance.json's 1000-row segment, caught in review). The
+            # clamped block overlaps the previous one; re-sweeping those
+            # rows is idempotent for the min/any reductions, and the
+            # labels now match the rows actually read.
+            start = jnp.minimum(s0 + b * _CB, s0 + n_rows - _CB)
             t0, ok = sph_rows(start, oH, dH)
             if occl:
                 any_r = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0,
@@ -514,9 +522,9 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             # list bookkeeping. H divides the 8 sublane rows of the
             # component-form slab test, so each group's test is a static
             # row slice.
-            H = _SUBTILE if (RT % 1024 == 0 and _SUBTILE in (2, 4, 8)
-                             and not _NEAR_SORT and not _MID_GATE
-                             and not (occl and _OCCL_EXIT)) else 1
+            H = _SUBTILE() if (RT % 1024 == 0 and _SUBTILE() in (2, 4, 8)
+                               and not _NEAR_SORT and not _MID_GATE
+                               and not (occl and _OCCL_EXIT())) else 1
 
             if H > 1:
                 RW = RT // H
@@ -678,7 +686,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
                 body = gated_body if _MID_GATE else cb_body
 
                 if not _NEAR_SORT:
-                    if occl and _OCCL_EXIT:
+                    if occl and _OCCL_EXIT():
                         # early-exit any-hit (opt-in, measured a net LOSS
                         # — see _OCCL_EXIT): once EVERY live lane is
                         # occluded (t_best < BIG/2) the remaining
@@ -837,13 +845,19 @@ _MID_GATE = os.environ.get("MRT_TRI_GATE", "0") == "1"
 # failure family as _NEAR_SORT / _MID_GATE. Kept opt-in
 # (MRT_TRI_OCCL_EXIT=1); radiance is bitwise-identical either way
 # (test_occl_early_exit_and_nocull_match).
-_OCCL_EXIT = os.environ.get("MRT_TRI_OCCL_EXIT", "0") == "1"
+def _OCCL_EXIT():
+    # read per trace (NOT at import): monkeypatched tests and fresh-env
+    # A/Bs must actually flip the path (reviewed round 5 — import-time
+    # reads made the variant equality tests compare a path to itself)
+    return os.environ.get("MRT_TRI_OCCL_EXIT", "0") == "1"
 # sub-tile candidate lists: split each ray tile into this many lane
 # groups, each with its own compacted candidate-block list (1 = off).
 # The tile-frustum union was the culling's measured resolution limit
 # ("within ~30% of its tile-granularity limit", BASELINE.md round 4);
 # groups sweep only the blocks their own lanes demand.
-_SUBTILE = int(os.environ.get("MRT_TRI_SUBTILE", "2"))
+def _SUBTILE():
+    # per-trace read, like _OCCL_EXIT
+    return int(os.environ.get("MRT_TRI_SUBTILE", "2"))
 
 
 # dense-kind culling threshold: sphere segments at least this long get

@@ -184,6 +184,25 @@ def _dense_rows_eff(layout, need_exit):
     return rows
 
 
+def _pick_rt_fwd(layout, need_exit, tex, Rp):
+    """Forward/trace lane tile, consistent with the kernel's sphere-cull
+    gate: the optimistic _CB-row budget applies ONLY when the kernel will
+    actually cull at the resulting tile (RT a 1024-multiple, culling not
+    env-disabled) — otherwise the kernel runs the full dense sweep and
+    the tile must be budgeted for it (reviewed round 5: the mismatch
+    left a (1000, RT) working set unclamped whenever the gate and the
+    budget disagreed, e.g. MRT_TRI_NOCULL=1 or 512-lane batches)."""
+    want = _fwd_tile_want(layout, tex)
+    tc = tex[0].shape[1] if tex is not None else 0
+    rows_eff = _dense_rows_eff(layout, need_exit)
+    RT = _pick_tile(want, Rp, rows_eff, tex_cols=tc)
+    full = sum(c for _k, _s, c in layout[0])
+    nocull = os.environ.get("MRT_TRI_NOCULL", "0") == "1"
+    if rows_eff != full and (RT % 1024 != 0 or nocull):
+        RT = _pick_tile(want, Rp, full, tex_cols=tc)
+    return RT
+
+
 def _fwd_tile_want(layout, tex):
     """Forward/trace kernel lane-tile policy (post component-form tail):
     fewer grid programs win — each costs its scf.if regions and pipeline
@@ -867,7 +886,12 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
         # _res_rows). na_e is the EXACT winner-row value (a masked-min
         # reduction, not a dot), so the backward's linearization point
         # is the true table value, like its 3-pass fetches.
-        gfres = [wg] + list(na_e) if use_gf else []
+        # entry-only scenes only: the backward has no saved exit-side
+        # normal, so refractive group scenes keep the flat fetch and
+        # must not size/write these rows (reviewed round 5: a need_exit
+        # forward saved CR+4 rows while the backward's BlockSpec sized
+        # CR without them)
+        gfres = [wg] + list(na_e) if use_gf and not need_exit else []
         resid = [te, tx if need_exit else te, row,
                  xrow if need_exit else row,
                  [lk.astype(jnp.float32) for lk in light_ok], [], gfres]
@@ -1136,9 +1160,7 @@ def _call_step(layout, need_exit, L, consts, attr, lights, decay,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp,
-                    _dense_rows_eff(layout, need_exit),
-                    tex_cols=tex[0].shape[1] if tex is not None else 0)
+    RT = _pick_rt_fwd(layout, need_exit, tex, Rp)
     r3 = pl.BlockSpec((3, RT), lambda i: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i: (0, i))
     NU = n_uni(need_exit)
@@ -1376,15 +1398,14 @@ def _call_trace(layout, need_exit, L, K, consts, attr, lights, dk,
         return pl.BlockSpec(arr.shape, lambda i, k: (0,) * arr.ndim)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    RT = _pick_tile(_fwd_tile_want(layout, tex), Rp,
-                    _dense_rows_eff(layout, need_exit),
-                    tex_cols=tex[0].shape[1] if tex is not None else 0)
+    RT = _pick_rt_fwd(layout, need_exit, tex, Rp)
     r3 = pl.BlockSpec((3, RT), lambda i, k: (0, i))
     r1 = pl.BlockSpec((1, RT), lambda i, k: (0, i))
     NU = n_uni(need_exit)
     u8spec = pl.BlockSpec((1, NU, RT), lambda i, k: (k, 0, i))
     f32 = jnp.float32
-    CR = _res_rows(L, need_exit, maps, gf=gattr is not None)
+    CR = _res_rows(L, need_exit, maps,
+                   gf=gattr is not None and not need_exit)
     r14 = pl.BlockSpec((14, RT), lambda i, k: (0, i))
     out_shapes = [jax.ShapeDtypeStruct((3, Rp), f32),
                   jax.ShapeDtypeStruct((3, Rp), f32),
@@ -3627,10 +3648,12 @@ def _trace_bwd_kernel(layout, need_exit, L, K, n_tri, tri_start, skip,
 def _call_trace_bwd(layout, need_exit, L, K, consts, attr, lights, dk,
                     res, u8s, ctA, ctB, maps=None, gattr=None):
     """Whole-trace backward: returns (d_attr, d_lights, d_dk, d_oT, d_dT,
-    d_AT, d_HT[, d_gattr]) for the trace's differentiable inputs. With
-    ``gattr`` (entry-only group scenes) the attribute fetch runs off the
-    group table + residual normals and the shared-column cotangents come
-    back as ``d_gattr`` (the caller folds them onto the table)."""
+    d_AT, d_HT) for the trace's differentiable inputs. With ``gattr``
+    (entry-only group scenes) the attribute FETCH runs off the group
+    table + residual winner group/normal rows; the cotangent scatter
+    stays PER-ROW into ``d_attr`` (fr/ip/r/na columns pull back to
+    per-row leaves — frames, inst_pos, prim_r are replicated per
+    primitive row), and the side table itself gets a zero cotangent."""
     segs, tri_start, n_tri = layout
     AT, HT = consts[6], consts[7]
     ATp = pallas_tri._pad_p(AT)

@@ -218,12 +218,16 @@ def test_sphere_cull_blocks_match_dense(monkeypatch):
 
     rng = np.random.default_rng(5)
     objs = []
-    for x in range(8):
+    # 9*8*5 = 360 spheres: deliberately NOT a multiple of _CB=64, so the
+    # last candidate block overhangs the segment — the round-5 review
+    # caught dynamic_slice clamping the start while the row labels used
+    # the unclamped value (every row of the final block mislabeled)
+    for x in range(9):
         for y in range(8):
             for z in range(5):
                 objs.append({
                     "type": "sphere", "r": 0.18,
-                    "pos": [x * 0.5 - 1.75, y * 0.5 + 1.0, z * 0.5 - 1.0],
+                    "pos": [x * 0.5 - 2.0, y * 0.5 + 1.0, z * 0.5 - 1.0],
                     "mat": {"rough": float(rng.uniform(0.2, 1.0)),
                             "albedo": [float(v) for v in
                                        rng.uniform(0.2, 1.0, 3)]},

@@ -121,6 +121,14 @@ def run_tri_self(sample: int, save_dir: str | None = None,
         saved = {k: _os.environ.get(k) for k in env}
         _os.environ.update(env)
         try:
+            # the MRT_* knobs are trace-time constants: without clearing
+            # the in-process jit cache, an env flip between renders of
+            # IDENTICAL shapes silently reuses the cached program and the
+            # comparison is the same image against itself (reviewed
+            # round 5 — nocull_frac measured a structural 0.0)
+            import jax as _jax
+
+            _jax.clear_caches()
             cfg = cli.parse_render(cli.build_parser().parse_args(
                 [scene_file, "--res", str(rw), str(rh)]))
             cfg.rt.sample = sample
