@@ -236,7 +236,13 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
         inside its block AABB — no phantom analog)."""
         n_sb = (n_rows + _CB - 1) // _CB
         off = _bb_sph_off(layout)
-        H = _SUBTILE() if _SUBTILE() in (2, 4, 8) else 1
+        # sphere blocks default to ONE list per tile: the sub-tile split
+        # measured a LOSS on Instance.json (H=1: 4.28M vs H=2: 4.09M
+        # rays/s — grid-class scenes see most blocks from both halves),
+        # opposite to the triangle path's +2%/+6%. MRT_TRI_SUBTILE set
+        # explicitly applies to both paths.
+        H = _SUBTILE() if (os.environ.get("MRT_TRI_SUBTILE")
+                           and _SUBTILE() in (2, 4, 8)) else 1
         RW = RT // H
         GR = 8 // H
         invd = [1.0 / jnp.where(d[k:k + 1, :] == 0.0, EPS, d[k:k + 1, :])
