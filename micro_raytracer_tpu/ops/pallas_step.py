@@ -317,8 +317,23 @@ def _pack_tex(scene):
     plan = tdp.reshape(Th, 128, 3).transpose(2, 1, 0).reshape(384, Th)
     hi = plan.astype(jnp.bfloat16).astype(jnp.float32)
     lo = (plan - hi).astype(jnp.bfloat16).astype(jnp.float32)
-    TEXT = jnp.pad(jnp.concatenate([hi, lo], axis=0),
-                   ((0, 0), (0, Thp - Th)))
+    if Thp <= 128:
+        # j-major layout for the REVERSED two-stage fetch (round 5):
+        # stage 1 contracts the within-block position j (K=128) into a
+        # (6*Thp, RT) intermediate and stage 2 mask-reduces over the Thp
+        # block rows — when the atlas has FEWER blocks than the 128
+        # texels per block (dof: Thp=32) this halves the stage
+        # intermediates vs the block-major order ((384+128, RT) blk +
+        # sel working set). Column c*2*Thp + p*Thp + h holds channel c,
+        # hi/lo part p, block h; the samplers discriminate the layout by
+        # shape[0] == 128.
+        hip = jnp.pad(hi, ((0, 0), (0, Thp - Th))).reshape(3, 128, Thp)
+        lop = jnp.pad(lo, ((0, 0), (0, Thp - Th))).reshape(3, 128, Thp)
+        TEXT = jnp.stack([hip, lop], axis=1) \
+            .transpose(2, 0, 1, 3).reshape(128, 6 * Thp)
+    else:
+        TEXT = jnp.pad(jnp.concatenate([hi, lo], axis=0),
+                       ((0, 0), (0, Thp - Th)))
     meta = jnp.stack([scene.tex_offset, scene.tex_w, scene.tex_h],
                      axis=1).astype(jnp.int32)              # (T, 3)
     return TEXT, meta
@@ -633,8 +648,24 @@ def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
     idx = off + x + y * w
     hi = idx // 128
     lo = idx % 128
-    Thp = TEXT.shape[1]
     RT = tid.shape[1]
+    nch = 3 if rgb else 1
+    if TEXT.shape[0] == 128:
+        # j-major layout (small atlases — see _pack_tex): contract the
+        # within-block position first, then mask-reduce over the blocks
+        Thp = TEXT.shape[1] // 6
+        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
+                 == lo).astype(jnp.float32)
+        S = jax.lax.dot_general(TEXT, oh_lo, (((0,), (0,)), ((), ())))
+        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
+                 == hi).astype(jnp.float32)
+        ch = []
+        for c in range(nch):
+            v = (S[(2 * c) * Thp:(2 * c + 1) * Thp]
+                 + S[(2 * c + 1) * Thp:(2 * c + 2) * Thp])
+            ch.append(jnp.sum(v * oh_hi, axis=0, keepdims=True))
+        return jnp.concatenate(ch, axis=0) if rgb else ch[0]
+    Thp = TEXT.shape[1]
     C = 384 if rgb else 128
     oh = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
           == hi).astype(jnp.float32)
@@ -644,7 +675,7 @@ def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
     sel_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
               == lo).astype(jnp.float32)
     ch = [jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0, keepdims=True)
-          for c in range(3 if rgb else 1)]
+          for c in range(nch)]
     return jnp.concatenate(ch, axis=0) if rgb else ch[0]
 
 
@@ -772,6 +803,9 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     """
     (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr, attr2,
      text_r, tmeta, lights) = tables
+    if maps and "notex" in os.environ.get("MRT_STEP_ABLATE", ""):
+        maps = None  # timing ablation (INFERENCE only — training residual
+        #              rows are sized from the un-ablated maps)
     RT = o.shape[1]
     P_pad = attr.shape[0]
     C_at = attr.shape[1]
@@ -1696,16 +1730,26 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
     idx_l = _uncomp8(off + x + y * w)                     # (1, RT)
     hi = idx_l // 128
     lo = idx_l % 128
-    Thp = TEXT.shape[1]
     RT = idx_l.shape[1]
-    C = 384 if rgb else 128
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
-          == hi).astype(jnp.float32)
-    dot = lambda rows: jax.lax.dot_general(
-        rows, oh, (((1,), (0,)), ((), ())))
-    blk = dot(TEXT[0:C]) + dot(TEXT[384:384 + C])
-    sel_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
-              == lo).astype(jnp.float32)
+    jmajor = TEXT.shape[0] == 128
+    if jmajor:
+        # j-major layout (small atlases) — see _tex_sample_rows
+        Thp = TEXT.shape[1] // 6
+        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
+                 == lo).astype(jnp.float32)
+        S = jax.lax.dot_general(TEXT, oh_lo, (((0,), (0,)), ((), ())))
+        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
+                 == hi).astype(jnp.float32)
+    else:
+        Thp = TEXT.shape[1]
+        C = 384 if rgb else 128
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
+              == hi).astype(jnp.float32)
+        dot = lambda rows: jax.lax.dot_general(
+            rows, oh, (((1,), (0,)), ((), ())))
+        blk = dot(TEXT[0:C]) + dot(TEXT[384:384 + C])
+        sel_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
+                  == lo).astype(jnp.float32)
     # re-comp to the CALLER's component block shape: the fwd tail uses
     # (8, RT/8) blocks, the backward kernel (RT/128, 128) — both plain
     # reshapes of the (1, RT) lane row, so match the input's shape
@@ -1722,9 +1766,16 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
             row = pl.run_scoped(scoped, pltpu.VMEM(row.shape, row.dtype))
         return jnp.reshape(row, t.shape)
 
-    ch = [recomp(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
-                         keepdims=True))
-          for c in range(3 if rgb else 1)]
+    if jmajor:
+        ch = [recomp(jnp.sum(
+                  (S[(2 * c) * Thp:(2 * c + 1) * Thp]
+                   + S[(2 * c + 1) * Thp:(2 * c + 2) * Thp]) * oh_hi,
+                  axis=0, keepdims=True))
+              for c in range(3 if rgb else 1)]
+    else:
+        ch = [recomp(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
+                             keepdims=True))
+              for c in range(3 if rgb else 1)]
     return tuple(ch) if rgb else ch[0]
 
 

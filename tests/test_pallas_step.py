@@ -349,3 +349,45 @@ def test_group_fetch_full_trace_and_grads(monkeypatch):
     assert rad1.max() > 0 and np.abs(g1).sum() > 0
     np.testing.assert_allclose(rad2, rad1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(g2, g1, rtol=1e-3, atol=1e-6)
+
+
+def test_big_atlas_block_major_fetch_matches(monkeypatch):
+    """Atlases with more than 128 texel blocks keep the block-major fetch
+    layout (small ones use the round-5 j-major order — _pack_tex); both
+    must agree with the jnp reference path. 16640 texels -> 130 blocks."""
+    from micro_raytracer_tpu.models.tracer import trace_radiance
+    from micro_raytracer_tpu.ops import pallas_step as ps
+
+    rng = np.random.default_rng(9)
+    big = {"w": 128, "h": 130,
+           "dat": rng.uniform(0, 1, (128 * 130, 3)).round(3).tolist()}
+    scene = compile_scene(schema.SceneConfig.from_json({
+        "renderer": [
+            {"type": "plane", "n": [0, 0, 1], "pos": [0, 0, -0.8],
+             "mat": {"tex": big, "rough": 1.0}},
+            {"type": "sphere", "r": 0.4, "pos": [0.3, 0.2, 0],
+             "mat": {"rough": 0.4}},
+        ],
+        "light": [{"type": "point", "pos": [-0.5, -1, 0.5], "pwr": 0.6}],
+        "sky": {"color": [0.15, 0.2, 0.3], "pwr": 0.5},
+    }))
+    TEXT, _meta = ps._pack_tex(scene)
+    assert TEXT.shape[0] == 768, TEXT.shape      # block-major layout
+    cam = compile_camera(schema.CameraConfig.from_json({"pos": [0, -2, 0]}))
+    xs, ys = np.meshgrid(np.arange(8, 56, 6), np.arange(8, 56, 6))
+    coords = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    def run():
+        return np.asarray(trace_radiance(scene, cam, (64, 64), 3,
+                                         jnp.float32(0.15), coords, key,
+                                         inference=True))
+
+    monkeypatch.setenv("MRT_STEP", "0")
+    monkeypatch.setenv("MRT_HIT3", "0")
+    ref = run()
+    monkeypatch.setenv("MRT_STEP", "1")
+    monkeypatch.setenv("MRT_HIT3", "1")
+    got = run()
+    assert ref.max() > 0
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=0.75)
