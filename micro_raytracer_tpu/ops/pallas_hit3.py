@@ -380,8 +380,7 @@ def sweep_closest(layout, need_exit, fr, ipos, pa, pr, valid, gid,
             scoped_s, pltpu.SMEM((H * (_CAND_MAX + 1),), jnp.int32))
 
     sph = _sph_cull_rows(layout) if tbb is not None else None
-    sph_cull = (sph is not None and not need_exit and RT % 1024 == 0
-                and os.environ.get("MRT_TRI_NOCULL", "0") != "1")
+    sph_cull = sph is not None and sph_cull_active(layout, need_exit, RT)
     for kind, s, e_c in segs:
         e = s + e_c
         if sph_cull and kind == schema.KIND_SPHERE and s == sph[0]:
@@ -874,14 +873,28 @@ _DENSE_CULL_MIN = 256
 
 
 def _sph_cull_rows(layout):
-    """(sphere_start, n_sphere) if the sphere segment gets cull blocks."""
+    """(sphere_start, n_sphere) if the sphere segment gets cull blocks.
+
+    ``c >= _CB`` guards the last-block clamp (a segment shorter than one
+    block would clamp the start below the segment — reviewed round 5,
+    reachable with MRT_TRI_CB > _DENSE_CULL_MIN)."""
     from ..models import schema as _s
 
     for kind, s, c in layout[0]:
-        if kind == _s.KIND_SPHERE and c >= _DENSE_CULL_MIN \
+        if kind == _s.KIND_SPHERE and c >= max(_DENSE_CULL_MIN, _CB) \
                 and (c + _CB - 1) // _CB <= _CAND_MAX:
             return s, c
     return None
+
+
+def sph_cull_active(layout, need_exit, RT):
+    """THE sphere-cull predicate, shared by sweep_closest's kernel gate
+    and pallas_step._pick_rt_fwd's tile budgeting — round 5's bug #3 was
+    exactly these two disagreeing (an unclamped dense working set
+    whenever the kernel fell back while the budget assumed culling)."""
+    return (_sph_cull_rows(layout) is not None and not need_exit
+            and RT % 1024 == 0
+            and os.environ.get("MRT_TRI_NOCULL", "0") != "1")
 
 
 def _bb_sph_off(layout):

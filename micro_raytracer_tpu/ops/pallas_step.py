@@ -193,12 +193,17 @@ def _pick_rt_fwd(layout, need_exit, tex, Rp):
     left a (1000, RT) working set unclamped whenever the gate and the
     budget disagreed, e.g. MRT_TRI_NOCULL=1 or 512-lane batches)."""
     want = _fwd_tile_want(layout, tex)
-    tc = tex[0].shape[1] if tex is not None else 0
+    # the texel budget was calibrated on the BLOCK count: the j-major
+    # layout's shape[1] is 6*Thp (see _pack_tex), normalize back
+    tc = 0
+    if tex is not None:
+        tc = (tex[0].shape[1] // 6 if tex[0].shape[0] == 128
+              else tex[0].shape[1])
     rows_eff = _dense_rows_eff(layout, need_exit)
     RT = _pick_tile(want, Rp, rows_eff, tex_cols=tc)
     full = sum(c for _k, _s, c in layout[0])
-    nocull = os.environ.get("MRT_TRI_NOCULL", "0") == "1"
-    if rows_eff != full and (RT % 1024 != 0 or nocull):
+    if rows_eff != full \
+            and not pallas_hit3.sph_cull_active(layout, need_exit, RT):
         RT = _pick_tile(want, Rp, full, tex_cols=tc)
     return RT
 
@@ -621,6 +626,29 @@ def _uv_rows(layout, att, p, row, mapped=None):
     return _kind_select(layout, row, vals, (zero, zero), where2)
 
 
+def _texel_jmajor(TEXT, hi, lo, rgb):
+    """Shared j-major texel selection (see _pack_tex): stage 1 contracts
+    the within-block position (K=128), stage 2 mask-reduces the Thp
+    block rows, summing the hi/lo parts of the selected block — the
+    same two floats the block-major order adds, so selection is
+    bitwise-identical. Scalar fetches (rgb=False) slice channel 0's
+    2*Thp columns before the dot (a third of the stage-1 work).
+    Returns per-channel (1, RT) rows."""
+    Thp = TEXT.shape[1] // 6
+    RT = lo.shape[1]
+    nch = 3 if rgb else 1
+    tab = TEXT if rgb else TEXT[:, :2 * Thp]
+    oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
+             == lo).astype(jnp.float32)
+    S = jax.lax.dot_general(tab, oh_lo, (((0,), (0,)), ((), ())))
+    oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
+             == hi).astype(jnp.float32)
+    return [jnp.sum((S[(2 * c) * Thp:(2 * c + 1) * Thp]
+                     + S[(2 * c + 1) * Thp:(2 * c + 2) * Thp]) * oh_hi,
+                    axis=0, keepdims=True)
+            for c in range(nch)]
+
+
 def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
     """Nearest-neighbor texel fetch inside the kernel (rt.rs:618-628).
 
@@ -651,19 +679,8 @@ def _tex_sample_rows(TEXT, meta, T, tid, u, v, rgb):
     RT = tid.shape[1]
     nch = 3 if rgb else 1
     if TEXT.shape[0] == 128:
-        # j-major layout (small atlases — see _pack_tex): contract the
-        # within-block position first, then mask-reduce over the blocks
-        Thp = TEXT.shape[1] // 6
-        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
-                 == lo).astype(jnp.float32)
-        S = jax.lax.dot_general(TEXT, oh_lo, (((0,), (0,)), ((), ())))
-        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
-                 == hi).astype(jnp.float32)
-        ch = []
-        for c in range(nch):
-            v = (S[(2 * c) * Thp:(2 * c + 1) * Thp]
-                 + S[(2 * c + 1) * Thp:(2 * c + 2) * Thp])
-            ch.append(jnp.sum(v * oh_hi, axis=0, keepdims=True))
+        # j-major layout (small atlases) — shared helper
+        ch = _texel_jmajor(TEXT, hi, lo, rgb)
         return jnp.concatenate(ch, axis=0) if rgb else ch[0]
     Thp = TEXT.shape[1]
     C = 384 if rgb else 128
@@ -803,9 +820,12 @@ def _step_math(layout, need_exit, L, maps, tables, tx_s, dk,
     """
     (fr, ipos, pa, pr, valid, gid, AT, HT, thr, tbb, attr, gattr, attr2,
      text_r, tmeta, lights) = tables
-    if maps and "notex" in os.environ.get("MRT_STEP_ABLATE", ""):
-        maps = None  # timing ablation (INFERENCE only — training residual
-        #              rows are sized from the un-ablated maps)
+    if (maps and not want_resid
+            and "notex" in os.environ.get("MRT_STEP_ABLATE", "")):
+        # timing ablation, INFERENCE ONLY (enforced by the want_resid
+        # guard): training residual rows are sized from the un-ablated
+        # maps, so ablating there would desync the residual layout
+        maps = None
     RT = o.shape[1]
     P_pad = attr.shape[0]
     C_at = attr.shape[1]
@@ -1733,13 +1753,7 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
     RT = idx_l.shape[1]
     jmajor = TEXT.shape[0] == 128
     if jmajor:
-        # j-major layout (small atlases) — see _tex_sample_rows
-        Thp = TEXT.shape[1] // 6
-        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (128, RT), 0)
-                 == lo).astype(jnp.float32)
-        S = jax.lax.dot_general(TEXT, oh_lo, (((0,), (0,)), ((), ())))
-        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (Thp, RT), 0)
-                 == hi).astype(jnp.float32)
+        jch = _texel_jmajor(TEXT, hi, lo, rgb)
     else:
         Thp = TEXT.shape[1]
         C = 384 if rgb else 128
@@ -1767,11 +1781,7 @@ def _tex_sample_comp(TEXT, meta, T, tid, u, v, rgb):
         return jnp.reshape(row, t.shape)
 
     if jmajor:
-        ch = [recomp(jnp.sum(
-                  (S[(2 * c) * Thp:(2 * c + 1) * Thp]
-                   + S[(2 * c + 1) * Thp:(2 * c + 2) * Thp]) * oh_hi,
-                  axis=0, keepdims=True))
-              for c in range(3 if rgb else 1)]
+        ch = [recomp(r) for r in jch]
     else:
         ch = [recomp(jnp.sum(blk[c * 128:(c + 1) * 128] * sel_lo, axis=0,
                              keepdims=True))

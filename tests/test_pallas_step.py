@@ -390,4 +390,11 @@ def test_big_atlas_block_major_fetch_matches(monkeypatch):
     monkeypatch.setenv("MRT_HIT3", "1")
     got = run()
     assert ref.max() > 0
-    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=0.75)
+    # same-RNG cross-implementation comparison: a handful of pixels may
+    # flip a bounce path at winner-t ulp boundaries, so gate the mean
+    # and the flip FRACTION rather than a loose per-pixel atol (a wrong
+    # channel/block in the fetch shifts nearly every textured pixel and
+    # fails both)
+    diff = np.abs(got - ref)
+    assert diff.mean() < 5e-3, diff.mean()
+    assert (diff.max(axis=-1) > 0.02).mean() < 0.02
